@@ -1,0 +1,60 @@
+"""Pose-accuracy metrics: ADD, ADD-S, AUC.
+
+Behavioral parity with the reference (src/Utils.py:232-266), with the KD-tree
+nearest-neighbor of ``adds_err`` replaced by a chunked brute-force jnp
+reduction that maps onto the MXU (distance matrices are matmuls) and works on
+TPU without host round trips.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from foundationpose_tpu.core.geometry import transform_pts
+
+
+def add_err(pred, gt, model_pts):
+    """Mean L2 between corresponding transformed model points.
+    (reference Utils.py:232-240)"""
+    pred_pts = transform_pts(model_pts, pred)
+    gt_pts = transform_pts(model_pts, gt)
+    return jnp.linalg.norm(pred_pts - gt_pts, axis=-1).mean()
+
+
+def adds_err(pred, gt, model_pts, chunk=2048):
+    """Mean nearest-neighbor distance from GT-transformed points to
+    pred-transformed points (symmetric-object metric, reference
+    Utils.py:242-253). Brute-force chunked: for each chunk of gt points
+    compute the (chunk, N) distance matrix and reduce."""
+    pred_pts = jnp.asarray(transform_pts(model_pts, pred), dtype=jnp.float32)
+    gt_pts = jnp.asarray(transform_pts(model_pts, gt), dtype=jnp.float32)
+    n = gt_pts.shape[0]
+    pred_sq = jnp.sum(pred_pts * pred_pts, axis=-1)  # (N,)
+    mins = []
+    for s in range(0, n, chunk):
+        g = gt_pts[s : s + chunk]  # (C,3)
+        d2 = (
+            jnp.sum(g * g, axis=-1)[:, None]
+            - 2.0 * g @ pred_pts.T
+            + pred_sq[None, :]
+        )
+        mins.append(jnp.sqrt(jnp.maximum(d2.min(axis=-1), 0.0)))
+    return jnp.concatenate(mins).mean()
+
+
+def compute_auc(errs, max_val=0.1, step=0.001):
+    """Accuracy-threshold AUC, identical to the reference's sklearn-based
+    computation (Utils.py:255-266): recall curve over thresholds
+    ``arange(0, max_val+step, step)``, trapezoid-integrated, early-stopped
+    when recall hits 1, normalized by max_val."""
+    errs = np.sort(np.asarray(errs))
+    X = np.arange(0, max_val + step, step)
+    Y = np.ones(len(X))
+    for i, x in enumerate(X):
+        y = (errs <= x).sum() / len(errs)
+        Y[i] = y
+        if y >= 1:
+            break
+    auc = np.trapezoid(Y, X) / max_val
+    return float(auc)
