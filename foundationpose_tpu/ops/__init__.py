@@ -1,1 +1,1 @@
-from foundationpose_tpu.ops import image  # noqa: F401
+from foundationpose_tpu.ops import image, raster  # noqa: F401
