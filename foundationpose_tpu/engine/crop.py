@@ -1,0 +1,100 @@
+"""Crop-batch construction for refinement and scoring.
+
+One jitted pipeline replacing the reference's make_crop_data_batch
+(predict_pose_refine.py:26-89, predict_score.py:57-114) + the test-time
+normalization of learning/datasets/h5_dataset.py:79-127: per-hypothesis crop
+transforms, rendering straight into the crop windows, perspective-warping the
+observed rgb/xyz into the same windows, then centering the xyz maps on each
+hypothesis translation and scaling by the mesh radius.
+
+Whereas the reference round-trips through CUDA chunks (render bs=512, kornia
+warps, torch dataset transform), here it is a single XLA program over the
+whole hypothesis batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from foundationpose_tpu.core import geometry as geo
+from foundationpose_tpu.ops import image as imops
+from foundationpose_tpu.ops import raster
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "normalize_xyz", "use_normal"),
+)
+def make_crop_batch(
+    mesh_tensors,
+    poses,
+    K,
+    rgb,
+    xyz_map,
+    mesh_diameter,
+    crop_ratio=1.2,
+    out_size=160,
+    normalize_xyz=True,
+    z_invalid_thres=0.001,
+    use_normal=False,
+):
+    """Build network inputs for a batch of pose hypotheses.
+
+    Args:
+      mesh_tensors: from ``ops.raster.make_mesh_tensors``.
+      poses: (N,4,4) hypotheses (object-in-camera, centered mesh frame).
+      K: (3,3); rgb: (H,W,3) float in [0,255]; xyz_map: (H,W,3) cam-space.
+      z_invalid_thres: 0.001 for the refiner path (PairH5Dataset
+        h5_dataset.py:94), 0.1 for the scorer path (TripletH5Dataset
+        h5_dataset.py:151).
+
+    Returns dict with inputA/inputB (N,S,S,6) [rgb|xyz] network inputs plus
+    the raw crops and crop transforms.
+    """
+    S = out_size
+    poses = jnp.asarray(poses, dtype=jnp.float32)
+    rgb = jnp.asarray(rgb, dtype=jnp.float32)
+    xyz_map = jnp.asarray(xyz_map, dtype=jnp.float32)
+
+    tfs = geo.compute_crop_window_tf_batch(poses, K, crop_ratio, mesh_diameter, (S, S))
+
+    r = raster.render_crops(
+        mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
+        with_normal=use_normal,
+    )
+    rgbA = r["rgb"]  # already [0,1]
+    xyzA = r["xyz"]
+
+    rgbB = imops.warp_perspective(rgb, tfs, (S, S), mode="bilinear") / 255.0
+    xyzB = imops.warp_perspective(xyz_map, tfs, (S, S), mode="nearest")
+
+    t = poses[:, :3, 3]
+
+    def normalize(xyz, thres):
+        invalid = xyz[..., 2:3] < thres  # (N,S,S,1)
+        centered = xyz - t[:, None, None, :]
+        if not normalize_xyz:
+            return centered
+        radius = mesh_diameter / 2.0
+        scaled = centered / radius
+        bad = invalid | (jnp.abs(scaled) >= 2)  # per-channel, h5_dataset.py:98
+        return jnp.where(bad, 0.0, scaled)
+
+    xyzA_n = normalize(xyzA, z_invalid_thres)
+    xyzB_n = normalize(xyzB, z_invalid_thres)
+
+    out = {
+        "inputA": jnp.concatenate([rgbA, xyzA_n], axis=-1),
+        "inputB": jnp.concatenate([rgbB, xyzB_n], axis=-1),
+        "rgbA": rgbA,
+        "rgbB": rgbB,
+        "depthA": r["depth"],
+        "tf_to_crops": tfs,
+        "mask": r["mask"],
+    }
+    if use_normal:
+        out["normalA"] = r["normal"]
+    return out

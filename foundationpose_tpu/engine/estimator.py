@@ -1,0 +1,197 @@
+"""FoundationPoseTPU — the pose-engine API: global registration + tracking.
+
+Behavioral counterpart of the reference's ``FoundationPose``
+(src/estimater.py:18-268): mesh centering and diameter, icosphere x in-plane
+rotation-hypothesis grid with symmetric clustering, translation guess from
+the mask/depth, iterative render-and-compare refinement, cross-pose scoring,
+and refine-only per-frame tracking — with every device-side stage a jitted
+XLA program over the full hypothesis batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from foundationpose_tpu.core import geometry as geo
+from foundationpose_tpu.core import meshio, poses as poses_mod
+from foundationpose_tpu.engine.refiner import PoseRefiner, RefinerConfig
+from foundationpose_tpu.engine.scorer import PoseScorer, ScorerConfig
+from foundationpose_tpu.ops import image as imops
+from foundationpose_tpu.ops import raster
+
+
+@dataclasses.dataclass
+class EstimatorConfig:
+    min_n_views: int = 40
+    inplane_step: int = 60
+    cluster_angle_deg: float = 30.0
+    register_iterations: int = 5
+    track_iterations: int = 2
+    max_render_faces: int = 4096  # static triangle-axis bound for the raster
+    # optional hierarchical polish: re-refine the top-K scored hypotheses for
+    # extra iterations, then re-score (off by default for reference parity)
+    final_refine_iterations: int = 0
+    final_refine_top_k: int = 8
+    refiner: RefinerConfig = dataclasses.field(default_factory=RefinerConfig)
+    scorer: ScorerConfig = dataclasses.field(default_factory=ScorerConfig)
+
+
+class FoundationPoseTPU:
+    """Register/track API. Usage:
+
+    >>> est = FoundationPoseTPU(mesh, symmetry_tfs=None)
+    >>> pose = est.register(K, rgb, depth, ob_mask)   # (4,4) original frame
+    >>> pose = est.track_one(rgb, depth, K)
+    """
+
+    def __init__(
+        self,
+        mesh: meshio.Mesh,
+        symmetry_tfs=None,
+        config: EstimatorConfig | None = None,
+        refiner: PoseRefiner | None = None,
+        scorer: PoseScorer | None = None,
+    ):
+        self.cfg = config or EstimatorConfig()
+        self.reset_object(mesh, symmetry_tfs)
+        self.refiner = refiner or PoseRefiner(self.cfg.refiner)
+        self.scorer = scorer or PoseScorer(self.cfg.scorer)
+        self.pose_last = None
+        self.scores = None
+        self.poses = None
+
+    # ------------------------------------------------------------------
+    def reset_object(self, mesh: meshio.Mesh, symmetry_tfs=None):
+        """Center the mesh, compute diameter, build mesh tensors + rotation
+        grid (reference estimater.py:44-78, 106-124)."""
+        bounds = mesh.bounds
+        self.model_center = (bounds[0] + bounds[1]) / 2.0
+        self.mesh_ori = mesh
+        centered = mesh.translated(-self.model_center)
+        self.mesh = centered
+        self.diameter = meshio.compute_mesh_diameter(mesh=centered)
+        if symmetry_tfs is None:
+            symmetry_tfs = np.eye(4)[None]
+        self.symmetry_tfs = np.asarray(symmetry_tfs, dtype=np.float64)
+        self.mesh_tensors = raster.make_mesh_tensors(
+            centered, max_faces=self.cfg.max_render_faces
+        )
+        self.rot_grid = poses_mod.make_rotation_grid(
+            min_n_views=self.cfg.min_n_views,
+            inplane_step=self.cfg.inplane_step,
+            symmetry_tfs=self.symmetry_tfs,
+            cluster_angle_deg=self.cfg.cluster_angle_deg,
+        ).astype(np.float32)
+        logging.info(
+            "reset_object: diameter=%.4f rot_grid=%s render_faces=%d",
+            self.diameter, self.rot_grid.shape, self.mesh_tensors["faces"].shape[0],
+        )
+
+    def get_tf_to_centered_mesh(self):
+        tf = np.eye(4, dtype=np.float64)
+        tf[:3, 3] = -self.model_center
+        return tf
+
+    # ------------------------------------------------------------------
+    def guess_translation(self, depth, mask, K):
+        """Mask bbox center ray x median masked depth (estimater.py:137-156)."""
+        vs, us = np.where(mask > 0)
+        if len(us) == 0:
+            logging.info("mask is all zero")
+            return np.zeros(3)
+        uc = (us.min() + us.max()) / 2.0
+        vc = (vs.min() + vs.max()) / 2.0
+        valid = (np.asarray(mask) > 0) & (np.asarray(depth) >= 0.001)
+        if not valid.any():
+            logging.info("no valid depth within mask")
+            return np.zeros(3)
+        zc = np.median(np.asarray(depth)[valid])
+        center = np.linalg.inv(K) @ np.array([uc, vc, 1.0]) * zc
+        return center.reshape(3)
+
+    def _preprocess_depth(self, depth):
+        d = imops.erode_depth(jnp.asarray(depth, jnp.float32), radius=2)
+        d = imops.bilateral_filter_depth(d, radius=2)
+        return d
+
+    # ------------------------------------------------------------------
+    def register(self, K, rgb, depth, ob_mask, iteration=None):
+        """Global registration. Returns (4,4) pose of the ORIGINAL
+        (uncentered) mesh in camera (reference estimater.py:159-240)."""
+        iteration = iteration or self.cfg.register_iterations
+        K = np.asarray(K, dtype=np.float64)
+        depth_p = np.asarray(self._preprocess_depth(depth))
+
+        valid = (depth_p >= 0.001) & (np.asarray(ob_mask) > 0)
+        if valid.sum() < 4:
+            logging.info("valid pixel count < 4; returning translation-only pose")
+            pose = np.eye(4)
+            pose[:3, 3] = self.guess_translation(depth_p, ob_mask, K)
+            return pose
+
+        center = self.guess_translation(depth_p, ob_mask, K)
+        hypotheses = self.rot_grid.copy()
+        hypotheses[:, :3, 3] = center[None]
+
+        xyz_map = np.asarray(geo.depth2xyzmap(depth_p, K))
+        rgb_f = np.asarray(rgb, dtype=np.float32)
+
+        refined = self.refiner.predict(
+            self.mesh_tensors, rgb_f, xyz_map, K, hypotheses, self.diameter,
+            iteration=iteration,
+        )
+        scores = self.scorer.predict(
+            self.mesh_tensors, rgb_f, xyz_map, K, refined, self.diameter
+        )
+        refined = np.asarray(refined)
+        scores = np.asarray(scores)
+        order = np.argsort(-scores)
+
+        if self.cfg.final_refine_iterations > 0:
+            k = min(self.cfg.final_refine_top_k, len(order))
+            top = refined[order[:k]].astype(np.float32)
+            top = np.asarray(
+                self.refiner.predict(
+                    self.mesh_tensors, rgb_f, xyz_map, K, top, self.diameter,
+                    iteration=self.cfg.final_refine_iterations,
+                )
+            )
+            top_scores = np.asarray(
+                self.scorer.predict(
+                    self.mesh_tensors, rgb_f, xyz_map, K, top, self.diameter
+                )
+            )
+            refined = np.concatenate([top, refined[order[k:]]])
+            scores = np.concatenate([top_scores, scores[order[k:]]])
+            order = np.argsort(-scores)
+
+        self.poses = refined[order]
+        self.scores = scores[order]
+        self.pose_last = self.poses[0]
+        best = self.poses[0] @ self.get_tf_to_centered_mesh()
+        return best
+
+    # ------------------------------------------------------------------
+    def track_one(self, rgb, depth, K, iteration=None):
+        """Refine-only tracking from the last pose (estimater.py:250-268)."""
+        if self.pose_last is None:
+            raise RuntimeError("call register() before track_one()")
+        iteration = iteration or self.cfg.track_iterations
+        K = np.asarray(K, dtype=np.float64)
+        depth_p = np.asarray(self._preprocess_depth(depth))
+        xyz_map = np.asarray(geo.depth2xyzmap(depth_p, K))
+        refined = self.refiner.predict(
+            self.mesh_tensors,
+            np.asarray(rgb, dtype=np.float32),
+            xyz_map,
+            K,
+            self.pose_last.reshape(1, 4, 4).astype(np.float32),
+            self.diameter,
+            iteration=iteration,
+        )
+        self.pose_last = np.asarray(refined)[0]
+        return self.pose_last @ self.get_tf_to_centered_mesh()

@@ -1,0 +1,218 @@
+"""Geometry-only refinement and scoring (no learned weights required).
+
+The reference pipeline depends on pretrained RefineNet/ScoreNet checkpoints
+that are not distributed with the code (.gitignore:22; predict_pose_refine.py
+:100). This module provides drop-in geometric counterparts sharing the same
+crop/render pipeline so the engine is fully functional standalone:
+
+- :class:`GeometricRefiner` — projective ICP: per-crop-pixel data association
+  between the rendered hypothesis xyz map and the observed xyz map, robust
+  weights, batched closed-form Kabsch (Horn quaternion / eigh) delta update.
+- :class:`GeometricScorer` — depth-consistency score: inlier fraction minus
+  free-space-violation fraction over the rendered silhouette.
+
+Both are jitted over the full hypothesis batch and are also used as verifiable
+oracles in tests (a learned net can't be exercised without its weights).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from foundationpose_tpu.core import geometry as geo
+from foundationpose_tpu.engine.crop import make_crop_batch
+
+
+def _kabsch_delta(src, dst, w):
+    """Weighted rigid transform Δ minimizing Σ w |Δ·src − dst|².
+
+    src/dst: (P,3); w: (P,). Returns (4,4). Horn's quaternion method: largest
+    eigenvector of the 4x4 correlation matrix (TPU-friendly, no 3x3 SVD).
+    """
+    wsum = jnp.maximum(w.sum(), 1e-6)
+    cs = (w[:, None] * src).sum(0) / wsum
+    cd = (w[:, None] * dst).sum(0) / wsum
+    s = src - cs
+    d = dst - cd
+    H = (w[:, None, None] * (s[:, :, None] * d[:, None, :])).sum(0)  # Σ w s dᵀ
+    Sxx, Sxy, Sxz = H[0, 0], H[0, 1], H[0, 2]
+    Syx, Syy, Syz = H[1, 0], H[1, 1], H[1, 2]
+    Szx, Szy, Szz = H[2, 0], H[2, 1], H[2, 2]
+    N = jnp.array(
+        [
+            [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
+            [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
+            [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
+            [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
+        ]
+    )
+    evals, evecs = jnp.linalg.eigh(N)
+    q = evecs[:, -1]  # (w,x,y,z) of the max eigenvalue
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    R = jnp.array(
+        [
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+            [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+            [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+        ]
+    )
+    # degenerate (no inliers): identity
+    ok = wsum > 10.0
+    R = jnp.where(ok, R, jnp.eye(3))
+    t = jnp.where(ok, cd - R @ cs, jnp.zeros(3))
+    T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+    return T
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometricConfig:
+    crop_ratio: float = 1.2
+    input_size: int = 160
+    tau_rel: float = 0.05  # inlier threshold as a fraction of mesh diameter
+
+
+class GeometricRefiner:
+    """Projective-ICP refiner with the PoseRefiner.predict interface."""
+
+    def __init__(self, config: GeometricConfig = GeometricConfig()):
+        self.cfg = config
+
+    def predict(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter, iteration=5):
+        return _icp_refine(
+            self.cfg,
+            mesh_tensors,
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(rgb, jnp.float32),
+            jnp.asarray(xyz_map, jnp.float32),
+            float(mesh_diameter),
+            int(iteration),
+        )
+
+
+def _point_to_plane_delta(p, q, n, w, mu=0.2, damping=1e-6):
+    """One linearized ICP step: Δ = exp([t, θ]) minimizing
+
+        Σ w (n·(p + θ×p + t − q))²  +  μ Σ w |p + θ×p + t − q|²
+
+    The point-to-point term (μ) removes the tangential null space that pure
+    point-to-plane has on flat surfaces (boxes). p/q/n: (P,3); w: (P,).
+    Returns (4,4)."""
+    # point-to-plane block
+    r = jnp.sum(n * (p - q), axis=-1)  # (P,)
+    Jr = jnp.cross(p, n)  # d r / d θ
+    J = jnp.concatenate([Jr, n], axis=-1)  # (P,6): [θ, t]
+    A = (w[:, None, None] * (J[:, :, None] * J[:, None, :])).sum(0)
+    b = -(w[:, None] * r[:, None] * J).sum(0)
+
+    # point-to-point block: residual p + θ×p + t − q, J3 = [−[p]× | I]
+    r3 = p - q  # (P,3)
+    skew = jnp.stack(
+        [
+            jnp.stack([jnp.zeros_like(p[:, 0]), p[:, 2], -p[:, 1]], axis=-1),
+            jnp.stack([-p[:, 2], jnp.zeros_like(p[:, 0]), p[:, 0]], axis=-1),
+            jnp.stack([p[:, 1], -p[:, 0], jnp.zeros_like(p[:, 0])], axis=-1),
+        ],
+        axis=-2,
+    )  # (P,3,3) = −[p]× (rows: d residual_i / d θ)
+    eye3 = jnp.broadcast_to(jnp.eye(3), skew.shape)
+    J3 = jnp.concatenate([skew, eye3], axis=-1)  # (P,3,6)
+    A = A + mu * jnp.einsum("p,pik,pil->kl", w, J3, J3)
+    b = b - mu * jnp.einsum("p,pik,pi->k", w, J3, r3)
+
+    A = A + damping * jnp.trace(A) / 6.0 * jnp.eye(6) + 1e-9 * jnp.eye(6)
+    x = jnp.linalg.solve(A, b)
+    ok = w.sum() > 10.0
+    theta, t = x[:3], x[3:]
+    T = geo.se3_exp_map(jnp.concatenate([t, theta])[None])[0]
+    return jnp.where(ok, T, jnp.eye(4))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iteration"))
+def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iteration):
+    """Projective point-to-plane ICP over the hypothesis batch with an
+    annealed inlier threshold (coarse association first, tight last)."""
+
+    def one_iter(poses, tau):
+        data = make_crop_batch(
+            mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
+            crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
+            normalize_xyz=False, z_invalid_thres=0.001, use_normal=True,
+        )
+        # un-center the crop xyz maps (normalize_xyz=False still subtracts t)
+        t = poses[:, :3, 3][:, None, None, :]
+        xyzA = data["inputA"][..., 3:] + t  # rendered, cam space
+        xyzB = data["inputB"][..., 3:] + t  # observed, cam space
+        nrmA = data["normalA"]
+        validA = data["mask"][..., None] & (xyzA[..., 2:3] > 0.001)
+        validB = xyzB[..., 2:3] > 0.001
+        err = jnp.linalg.norm(xyzA - xyzB, axis=-1, keepdims=True)
+        w = (validA & validB & (err < tau)).astype(jnp.float32)[..., 0]
+
+        def solve(xa, xb, nn, ww):
+            return _point_to_plane_delta(
+                xa.reshape(-1, 3), xb.reshape(-1, 3), nn.reshape(-1, 3), ww.reshape(-1)
+            )
+
+        deltas = jax.vmap(solve)(xyzA, xyzB, nrmA, w)  # (B,4,4)
+        return deltas @ poses
+
+    tau0 = 2.0 * cfg.tau_rel * mesh_diameter
+    tau1 = 0.5 * cfg.tau_rel * mesh_diameter
+    for i in range(iteration):
+        frac = i / max(iteration - 1, 1)
+        tau = tau0 * (tau1 / tau0) ** frac  # geometric anneal
+        poses = one_iter(poses, tau)
+    return poses
+
+
+class GeometricScorer:
+    """Depth-consistency scorer with the PoseScorer.predict interface."""
+
+    def __init__(self, config: GeometricConfig = GeometricConfig()):
+        self.cfg = config
+
+    def predict(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
+        return _geo_score(
+            self.cfg,
+            mesh_tensors,
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(rgb, jnp.float32),
+            jnp.asarray(xyz_map, jnp.float32),
+            float(mesh_diameter),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
+    tau = cfg.tau_rel * mesh_diameter * 0.5
+    data = make_crop_batch(
+        mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
+        crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
+        normalize_xyz=False, z_invalid_thres=0.001,
+    )
+    t = poses[:, :3, 3][:, None, None, :]
+    zA = data["inputA"][..., 5] + t[..., 2]
+    zB = data["inputB"][..., 5] + t[..., 2]
+    validA = data["mask"] & (zA > 0.001)
+    validB = zB > 0.001
+    both = validA & validB
+    inlier = both & (jnp.abs(zA - zB) < tau)
+    # observed surface clearly in front of the render: hypothesis occupies
+    # observed free space
+    violation = both & (zB < zA - tau)
+    # hypothesis renders where the observation has no surface at all
+    # (protrudes outside the observed silhouette); weighted below a hard
+    # violation since real depth maps have holes
+    silhouette_miss = validA & ~validB
+    nA = jnp.maximum(validA.sum(axis=(1, 2)), 1)
+    return (
+        inlier.sum(axis=(1, 2))
+        - violation.sum(axis=(1, 2))
+        - 0.5 * silhouette_miss.sum(axis=(1, 2))
+    ) / nA

@@ -1,0 +1,70 @@
+"""Hypothesis scoring.
+
+Jitted equivalent of the reference ScorePredictor.predict
+(predict_score.py:160-226). The reference's hierarchical "tournament"
+degenerates to a single cross-pose-attention forward over all L hypotheses
+(its chunk size is the full batch, predict_score.py:186-213, so the loop
+exits after one round with +100 added to the surviving scores); we implement
+exactly that single forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from foundationpose_tpu.engine.crop import make_crop_batch
+from foundationpose_tpu.models.score_net import ScoreNetMultiPair
+
+
+@dataclasses.dataclass(frozen=True)
+class ScorerConfig:
+    normalize_xyz: bool = True
+    crop_ratio: float = 1.2
+    input_size: int = 160
+    c_in: int = 6
+    norm: str | None = None
+    dtype: str = "bfloat16"
+
+
+class PoseScorer:
+    def __init__(self, config: ScorerConfig = ScorerConfig(), params=None, seed=0):
+        self.cfg = config
+        self.net = ScoreNetMultiPair(
+            c_in=config.c_in,
+            norm=config.norm,
+            dtype=jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32,
+        )
+        if params is None:
+            dummy = jnp.zeros((2, config.input_size, config.input_size, config.c_in))
+            params = self.net.init(jax.random.PRNGKey(seed), dummy, dummy, 2)
+        self.params = params
+
+    def predict(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
+        """poses: (N,4,4) -> scores (N,)."""
+        return _score_jit(
+            self.net,
+            self.cfg,
+            self.params,
+            mesh_tensors,
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(rgb, jnp.float32),
+            jnp.asarray(xyz_map, jnp.float32),
+            float(mesh_diameter),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("net", "cfg"))
+def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
+    data = make_crop_batch(
+        mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
+        crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
+        normalize_xyz=cfg.normalize_xyz,
+        z_invalid_thres=0.1,  # TripletH5Dataset semantics (h5_dataset.py:151)
+    )
+    out = net.apply(params, data["inputA"], data["inputB"], poses.shape[0])
+    return out["score_logit"].reshape(-1)

@@ -125,9 +125,9 @@ def warp_perspective(img, tf, out_size, mode="bilinear"):
     SOURCE pixel coords to DESTINATION pixel coords (the crop transforms from
     ``compute_crop_window_tf_batch``). Output (B, out_h, out_w, C).
 
-    Half-pixel-center convention (OpenCV/kornia align_corners=False): output
-    pixel (i,j) samples the source at ``tf^-1 @ (j+.5, i+.5, 1)`` minus the
-    half-pixel offset in index space. Out-of-bounds reads are zero.
+    Integer pixel-center convention (consistent with the rasterizer and
+    depth2xyzmap): output pixel (i,j) samples the source at
+    ``tf^-1 @ (j, i, 1)`` in index space. Out-of-bounds reads are zero.
     """
     img = jnp.asarray(img)
     squeeze = False
@@ -143,14 +143,14 @@ def warp_perspective(img, tf, out_size, mode="bilinear"):
     jj, ii = jnp.meshgrid(
         jnp.arange(out_w, dtype=jnp.float32), jnp.arange(out_h, dtype=jnp.float32)
     )
-    dst = jnp.stack([jj + 0.5, ii + 0.5, jnp.ones_like(jj)], axis=-1)  # (h,w,3)
+    dst = jnp.stack([jj, ii, jnp.ones_like(jj)], axis=-1)  # (h,w,3)
 
     def one(tf_inv):
         src = dst @ tf_inv.T
         sx = src[..., 0] / jnp.maximum(jnp.abs(src[..., 2]), 1e-12) * jnp.sign(src[..., 2])
         sy = src[..., 1] / jnp.maximum(jnp.abs(src[..., 2]), 1e-12) * jnp.sign(src[..., 2])
-        x = sx - 0.5
-        y = sy - 0.5
+        x = sx
+        y = sy
         if mode == "bilinear":
             return _sample_bilinear(img.astype(jnp.float32), x, y)
         return _sample_nearest(img.astype(jnp.float32), x, y)

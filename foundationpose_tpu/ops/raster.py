@@ -160,12 +160,15 @@ def render_crops(
     light = jnp.asarray(light_dir, dtype=jnp.float32)
     light = light / jnp.maximum(jnp.linalg.norm(light), 1e-12)
 
-    # pixel grid (P,3) with half-pixel centers
+    # pixel grid (P,3). Integer pixel-center convention: pixel (v,u) sees the
+    # camera ray through continuous coords (u, v) — consistent with
+    # depth2xyzmap (geometry.py, reference Utils.py:399-417) and the
+    # crop-warp, so rendered and observed xyz maps correspond exactly.
     jj, ii = jnp.meshgrid(
         jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32)
     )
     pix = jnp.stack(
-        [jj.reshape(-1) + 0.5, ii.reshape(-1) + 0.5, jnp.ones(H * W, jnp.float32)],
+        [jj.reshape(-1), ii.reshape(-1), jnp.ones(H * W, jnp.float32)],
         axis=-1,
     )  # (P,3)
     P = H * W
@@ -199,7 +202,9 @@ def render_crops(
             w = (pix @ coeffs.transpose(1, 0, 2).reshape(3, -1)).reshape(
                 P, face_chunk, 3
             )
-            inside = (w >= 0.0).all(axis=-1) & valids[None, :]
+            # normalized barycentrics sum to 1, so an absolute epsilon covers
+            # exact-edge ties (e.g. rays through shared triangle edges)
+            inside = (w >= -1e-6).all(axis=-1) & valids[None, :]
             pix_invz = jnp.einsum("pfk,fk->pf", w, invzs)
             score = jnp.where(inside, pix_invz, -1.0)
             c_best = jnp.max(score, axis=-1)

@@ -35,7 +35,7 @@ def test_cube_depth_and_xyz():
     # xyz at an off-center hit pixel obeys the pinhole relation
     vs, us = np.where(mask)
     for v, u in [(vs[0], us[0]), (vs[-1], us[-1])]:
-        x_expect = (u + 0.5 - K[0, 2]) * depth[v, u] / K[0, 0]
+        x_expect = (u - K[0, 2]) * depth[v, u] / K[0, 0]
         np.testing.assert_allclose(xyz[v, u, 0], x_expect, atol=2e-3)
     # background zeros
     assert depth[0, 0] == 0 and not mask[0, 0]
