@@ -1,0 +1,98 @@
+"""Benchmark: pose hypotheses scored per second per chip (+ tracking fps).
+
+Runs the full register workload — 252 hypotheses rendered into 160x160 crops,
+5 RefineNet refinement iterations, one cross-pose ScoreNet pass — on the real
+device, exactly the hot path of FoundationPose.register (SURVEY.md section
+3.2), and the single-hypothesis track_one loop.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline uses 194 hypotheses/s as the reference point: the CUDA reference
+publishes no numbers (BASELINE.md), so we use the upstream paper's reported
+~1.3 s for a 252-hypothesis registration on a desktop GPU as the informal
+anchor (252/1.3 ~= 194 hyp/s).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: compile once per program shape, reuse
+    # across bench invocations (the 2-CPU host compiles slowly)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from foundationpose_tpu.core import geometry as geo, meshio
+    from foundationpose_tpu.engine.estimator import EstimatorConfig, FoundationPoseTPU
+    from foundationpose_tpu.ops import raster
+
+    dev = jax.devices()[0]
+    # Scene: 640x480, textured-scale icosphere object (1280 faces)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    HW = (480, 640)
+    mesh = meshio.make_icosphere_mesh(subdivisions=3, radius=0.06)
+    rng = np.random.default_rng(0)
+    mesh.vertex_colors = rng.integers(60, 220, size=(len(mesh.vertices), 3)).astype(np.uint8)
+
+    gt = np.eye(4)
+    gt[:3, :3] = np.asarray(geo.euler_matrix(0.4, -0.3, 0.2))[:3, :3]
+    gt[:3, 3] = [0.02, -0.01, 0.6]
+    mt = raster.make_mesh_tensors(mesh)
+    out = raster.render_full_frame(mt, gt[None], K, HW)
+    rgb = np.asarray(out["rgb"][0]) * 255.0
+    depth = np.asarray(out["depth"][0])
+    mask = np.asarray(out["mask"][0])
+
+    est = FoundationPoseTPU(mesh, config=EstimatorConfig(register_iterations=5))
+    n_hyp = len(est.rot_grid)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    est.register(K, rgb, depth, mask)
+    compile_s = time.perf_counter() - t0
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        est.register(K, rgb, depth, mask)
+    register_s = (time.perf_counter() - t0) / n_rep
+    hyp_per_s = n_hyp / register_s
+
+    # tracking fps (single-hypothesis refine, 2 iterations)
+    est.track_one(rgb, depth, K)  # warmup/compile
+    n_track = 20
+    t0 = time.perf_counter()
+    for _ in range(n_track):
+        est.track_one(rgb, depth, K)
+    track_fps = n_track / (time.perf_counter() - t0)
+
+    baseline_hyp_per_s = 194.0
+    print(
+        json.dumps(
+            {
+                "metric": "pose_hypotheses_scored_per_sec_per_chip",
+                "value": round(hyp_per_s, 2),
+                "unit": "hyp/s",
+                "vs_baseline": round(hyp_per_s / baseline_hyp_per_s, 3),
+                "register_s": round(register_s, 4),
+                "track_fps": round(track_fps, 2),
+                "n_hypotheses": int(n_hyp),
+                "compile_s": round(compile_s, 1),
+                "device": str(dev),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

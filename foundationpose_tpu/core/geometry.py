@@ -87,14 +87,17 @@ def hat(w):
 
 
 def so3_exp_map(log_rot):
-    """Rodrigues formula: (..., 3) -> (..., 3, 3), numerically stable near 0."""
+    """Rodrigues formula: (..., 3) -> (..., 3, 3), numerically stable near 0
+    including gradients (the non-Taylor branch is evaluated on a safe theta so
+    no NaN leaks through jnp.where in the backward pass)."""
     w = jnp.asarray(log_rot, dtype=jnp.float32)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-30))
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks.
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta_safe) / theta_safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta_safe)) / theta2_safe)
     K = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
@@ -115,9 +118,12 @@ def so3_log_map(R):
         axis=-1,
     )
     small = theta < 1e-4
+    theta_safe = jnp.where(small, 1.0, theta)
     # w_hat = 2 sin(theta) * axis  =>  log = theta/(2 sin theta) * w_hat
     scale = jnp.where(
-        small, 0.5 + theta * theta / 12.0, theta / jnp.maximum(2.0 * jnp.sin(theta), 1e-12)
+        small,
+        0.5 + theta * theta / 12.0,
+        theta_safe / jnp.maximum(2.0 * jnp.sin(theta_safe), 1e-12),
     )
     return scale[..., None] * w_hat
 
@@ -127,13 +133,12 @@ def se3_exp_map(xi):
     xi = jnp.asarray(xi, dtype=jnp.float32)
     v, w = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-30))
     small = theta2 < 1e-8
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / jnp.maximum(theta2, 1e-30)
-    )
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta_safe) / theta_safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta_safe)) / theta2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2_safe)
     K = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     R = eye + a[..., None, None] * K + b[..., None, None] * (K @ K)

@@ -11,8 +11,10 @@ XLA program over the full hypothesis batch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +24,21 @@ from foundationpose_tpu.engine.refiner import PoseRefiner, RefinerConfig
 from foundationpose_tpu.engine.scorer import PoseScorer, ScorerConfig
 from foundationpose_tpu.ops import image as imops
 from foundationpose_tpu.ops import raster
+
+
+@jax.jit
+def _preprocess_depth_jit(depth):
+    d = imops.erode_depth(depth, radius=2)
+    d = imops.bilateral_filter_depth(d, radius=2)
+    return (d,)
+
+
+@jax.jit
+def _preprocess_jit(depth, K):
+    d = imops.erode_depth(depth, radius=2)
+    d = imops.bilateral_filter_depth(d, radius=2)
+    xyz = geo.depth2xyzmap(d, K)
+    return d, xyz
 
 
 @dataclasses.dataclass
@@ -114,9 +131,14 @@ class FoundationPoseTPU:
         return center.reshape(3)
 
     def _preprocess_depth(self, depth):
-        d = imops.erode_depth(jnp.asarray(depth, jnp.float32), radius=2)
-        d = imops.bilateral_filter_depth(d, radius=2)
-        return d
+        return _preprocess_depth_jit(jnp.asarray(depth, jnp.float32))[0]
+
+    def _preprocess(self, depth, K):
+        """One fused jitted call: erode + bilateral + xyz map (per-op eager
+        dispatch is expensive on remote-attached TPUs)."""
+        return _preprocess_jit(
+            jnp.asarray(depth, jnp.float32), jnp.asarray(K, jnp.float32)
+        )
 
     # ------------------------------------------------------------------
     def register(self, K, rgb, depth, ob_mask, iteration=None):
@@ -124,7 +146,8 @@ class FoundationPoseTPU:
         (uncentered) mesh in camera (reference estimater.py:159-240)."""
         iteration = iteration or self.cfg.register_iterations
         K = np.asarray(K, dtype=np.float64)
-        depth_p = np.asarray(self._preprocess_depth(depth))
+        depth_d, xyz_d = self._preprocess(depth, K)
+        depth_p = np.asarray(depth_d)
 
         valid = (depth_p >= 0.001) & (np.asarray(ob_mask) > 0)
         if valid.sum() < 4:
@@ -137,7 +160,7 @@ class FoundationPoseTPU:
         hypotheses = self.rot_grid.copy()
         hypotheses[:, :3, 3] = center[None]
 
-        xyz_map = np.asarray(geo.depth2xyzmap(depth_p, K))
+        xyz_map = xyz_d  # stays on device
         rgb_f = np.asarray(rgb, dtype=np.float32)
 
         refined = self.refiner.predict(
@@ -182,8 +205,7 @@ class FoundationPoseTPU:
             raise RuntimeError("call register() before track_one()")
         iteration = iteration or self.cfg.track_iterations
         K = np.asarray(K, dtype=np.float64)
-        depth_p = np.asarray(self._preprocess_depth(depth))
-        xyz_map = np.asarray(geo.depth2xyzmap(depth_p, K))
+        _, xyz_map = self._preprocess(depth, K)
         refined = self.refiner.predict(
             self.mesh_tensors,
             np.asarray(rgb, dtype=np.float32),

@@ -163,11 +163,13 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
 
     tau0 = 2.0 * cfg.tau_rel * mesh_diameter
     tau1 = 0.5 * cfg.tau_rel * mesh_diameter
-    for i in range(iteration):
-        frac = i / max(iteration - 1, 1)
+
+    def body(i, p):
+        frac = i.astype(jnp.float32) / max(iteration - 1, 1)
         tau = tau0 * (tau1 / tau0) ** frac  # geometric anneal
-        poses = one_iter(poses, tau)
-    return poses
+        return one_iter(p, tau)
+
+    return jax.lax.fori_loop(0, iteration, body, poses)
 
 
 class GeometricScorer:

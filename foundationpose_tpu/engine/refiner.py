@@ -86,12 +86,18 @@ def _refine_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,
 
 def _refine_iters(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
                   iteration, *, net, cfg: RefinerConfig):
-    for _ in range(iteration):
-        poses = refine_once(
-            params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
+    # fori_loop (not python unroll): the refine body — render + crop + net —
+    # is traced once regardless of the iteration count, keeping compile time
+    # and HLO size flat.
+    return jax.lax.fori_loop(
+        0,
+        iteration,
+        lambda _, p: refine_once(
+            params, mesh_tensors, p, K, rgb, xyz_map, mesh_diameter,
             net=net, cfg=cfg,
-        )
-    return poses
+        ),
+        poses,
+    )
 
 
 def refine_once(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,

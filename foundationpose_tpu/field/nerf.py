@@ -1,0 +1,147 @@
+"""Neural object field model: hash-grid SDF + color MLP + per-frame
+learnable pose corrections and latent codes.
+
+Architecture parity with the reference: NeRFSmall (nerf_helpers.py:277-355 —
+2-layer sigma net 64 wide -> 1 SDF + 15 geo features with +0.1 bias init,
+3-layer color net), FeatureArray (:25-41), PoseArray (:44-64 — tanh-bounded
+6-DoF se3 deltas, frame 0 pinned to identity), composed exactly as
+nerf_runner.create_nerf/run_network do (:206-244, :940-1017).
+
+Convention: unlike the reference (OpenGL rays, z backward), everything here is
+OpenCV camera (z forward) to match the rest of the framework; poses are
+cam-in-object in the normalized [-1,1] space.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foundationpose_tpu.core import geometry as geo
+from foundationpose_tpu.field.encoders import sh_encode, sh_out_dim
+from foundationpose_tpu.ops.hashgrid import HashGridEncoder
+
+
+class NeRFSmall(nn.Module):
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+
+    def setup(self):
+        sigma = []
+        for l in range(self.num_layers):
+            out_dim = (
+                1 + self.geo_feat_dim if l == self.num_layers - 1 else self.hidden_dim
+            )
+            kw = {}
+            if l == self.num_layers - 1:
+                # +0.1 bias: encourage positive SDF at init (nerf_helpers.py:306)
+                kw["bias_init"] = nn.initializers.constant(0.1)
+            sigma.append(nn.Dense(out_dim, name=f"sigma_{l}", **kw))
+        self.sigma_layers = sigma
+        color = []
+        for l in range(self.num_layers_color):
+            out_dim = 3 if l == self.num_layers_color - 1 else self.hidden_dim_color
+            color.append(nn.Dense(out_dim, name=f"color_{l}"))
+        self.color_layers = color
+
+    def _sigma(self, pos_embed):
+        h = pos_embed
+        for l, layer in enumerate(self.sigma_layers):
+            h = layer(h)
+            if l != len(self.sigma_layers) - 1:
+                h = nn.relu(h)
+        return h
+
+    def __call__(self, pos_embed, view_embed):
+        """pos_embed: (..., C_pos); view_embed: (..., C_view) = [frame feats |
+        SH dirs]. Returns (..., 4): rgb logits + sdf."""
+        h = self._sigma(pos_embed)
+        sdf, geo_feat = h[..., 0], h[..., 1:]
+        c = jnp.concatenate([view_embed, geo_feat], axis=-1)
+        for l, layer in enumerate(self.color_layers):
+            c = layer(c)
+            if l != len(self.color_layers) - 1:
+                c = nn.relu(c)
+        return jnp.concatenate([c, sdf[..., None]], axis=-1)
+
+    def sdf_only(self, pos_embed):
+        return self._sigma(pos_embed)[..., 0]
+
+
+class ObjectField(nn.Module):
+    """Hash grid + NeRFSmall + per-frame pose/feature arrays."""
+
+    num_frames: int
+    frame_features: int = 2
+    sh_degree: int = 3
+    max_trans: float = 0.02  # already in normalized units (x sc_factor)
+    max_rot_deg: float = 10.0
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 32
+    desired_resolution: int = 512
+    log2_hashmap_size: int = 22
+    optimize_poses: bool = True
+
+    def setup(self):
+        self.grid = HashGridEncoder(
+            num_levels=self.num_levels,
+            level_dim=self.level_dim,
+            base_resolution=self.base_resolution,
+            desired_resolution=self.desired_resolution,
+            log2_hashmap_size=self.log2_hashmap_size,
+        )
+        self.mlp = NeRFSmall()
+        if self.frame_features > 0:
+            self.feature_array = self.param(
+                "feature_array",
+                nn.initializers.normal(1.0),
+                (self.num_frames, self.frame_features),
+            )
+        if self.optimize_poses:
+            self.pose_array = self.param(
+                "pose_array", nn.initializers.zeros, (self.num_frames, 6)
+            )
+
+    def pose_corrections(self, frame_ids):
+        """(N,) frame ids -> (N,4,4) bounded SE3 delta; frame 0 = identity
+        (nerf_helpers.py:54-64)."""
+        if not self.optimize_poses:
+            return jnp.broadcast_to(jnp.eye(4), (frame_ids.shape[0], 4, 4))
+        theta = jnp.tanh(self.pose_array)
+        trans = theta[:, :3] * self.max_trans
+        rot = theta[:, 3:] * (self.max_rot_deg / 180.0 * jnp.pi)
+        Ts = geo.se3_exp_map(jnp.concatenate([trans, rot], axis=-1))  # (F,4,4)
+        Ts = Ts.at[0].set(jnp.eye(4))
+        return Ts[frame_ids]
+
+    def query(self, pts_w, viewdirs_w, frame_ids):
+        """pts_w: (N,S,3) world(normalized) points; viewdirs_w: (N,3) unit;
+        frame_ids: (N,) int. Returns raw (N,S,4) [rgb logits, sdf]."""
+        N, S = pts_w.shape[:2]
+        flat = pts_w.reshape(-1, 3)
+        pos_embed = self.grid(jnp.clip(flat, -1.0, 1.0))
+        view = sh_encode(viewdirs_w, self.sh_degree)  # (N, sh)
+        view = jnp.repeat(view[:, None], S, axis=1).reshape(N * S, -1)
+        if self.frame_features > 0:
+            feats = self.feature_array[frame_ids]  # (N,D)
+            feats = jnp.repeat(feats[:, None], S, axis=1).reshape(N * S, -1)
+            view_embed = jnp.concatenate([feats, view], axis=-1)
+        else:
+            view_embed = view
+        raw = self.mlp(pos_embed, view_embed)
+        return raw.reshape(N, S, 4)
+
+    def sdf(self, pts):
+        """(N,3) normalized points -> (N,) SDF (mesh extraction path,
+        reference run_network_density nerf_runner.py:1020-1060)."""
+        pos_embed = self.grid(jnp.clip(pts, -1.0, 1.0))
+        return self.mlp.sdf_only(pos_embed)
+
+    def __call__(self, pts_w, viewdirs_w, frame_ids):
+        return self.query(pts_w, viewdirs_w, frame_ids)

@@ -1,0 +1,70 @@
+"""Training steps for the pose networks.
+
+The reference ships only config dataclasses for training
+(learning/training/training_config.py:18-100 — 160^2 crops, batch 64, Adam
+1e-4, L2 pose-delta loss for the refiner, pairwise-valid ranking loss for the
+scorer); the loops themselves are absent from the snapshot. These jitted steps
+realize that surface TPU-natively: data-parallel over the device mesh (batch
+axis sharded; XLA inserts the psum for the gradient reduction).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from foundationpose_tpu.core import geometry as geo
+
+
+def make_refiner_train_state(net, rng, input_size=160, c_in=6, lr=1e-4):
+    dummy = jnp.zeros((1, input_size, input_size, c_in))
+    params = net.init(rng, dummy, dummy)
+    tx = optax.adam(lr)
+    return params, tx, tx.init(params)
+
+
+def refiner_loss(net, params, batch, rot_normalizer=0.3490658503988659):
+    """L2 on the decoded translation + geodesic-surrogate on rotation
+    (TrainRefinerConfig: trans/rot L2, training_config.py:97)."""
+    out = net.apply(params, batch["A"], batch["B"])
+    trans_pred = out["trans"]
+    rot_pred = geo.so3_exp_map(jnp.tanh(out["rot"]) * rot_normalizer)
+    loss_t = jnp.mean(jnp.sum((trans_pred - batch["trans_gt"]) ** 2, axis=-1))
+    loss_r = jnp.mean(
+        jnp.sum((rot_pred - batch["rot_gt"]) ** 2, axis=(-2, -1))
+    )
+    return loss_t + loss_r
+
+
+@functools.partial(jax.jit, static_argnames=("net", "tx"), donate_argnums=(2, 3))
+def refiner_train_step(net, tx, params, opt_state, batch):
+    loss, grads = jax.value_and_grad(
+        lambda p: refiner_loss(net, p, batch)
+    )(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def scorer_loss(net, params, batch):
+    """Pairwise ranking (pairwise_valid, training_config.py:51): hypotheses
+    with lower ADD should score higher; hinge on all valid pairs."""
+    out = net.apply(params, batch["A"], batch["B"], batch["A"].shape[0])
+    s = out["score_logit"].reshape(-1)  # (L,)
+    err = batch["adds"].reshape(-1)
+    better = err[:, None] < err[None, :] - batch.get("margin", 1e-4)
+    diff = s[None, :] - s[:, None]  # s_i - s_j where i better
+    hinge = jnp.maximum(0.0, 0.5 + diff) * better
+    return hinge.sum() / jnp.maximum(better.sum(), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("net", "tx"), donate_argnums=(2, 3))
+def scorer_train_step(net, tx, params, opt_state, batch):
+    loss, grads = jax.value_and_grad(lambda p: scorer_loss(net, p, batch))(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

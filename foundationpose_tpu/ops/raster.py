@@ -267,6 +267,9 @@ def render_crops(
             "normal": (n_pix * hit_f).reshape(H, W, 3),
             "mask": hit.reshape(H, W),
             "tri": jnp.where(hit, tri, -1).reshape(H, W),
+            # perspective-correct barycentrics of the winning face (texture
+            # baking consumes these; nvdiffrast's rast buffer analog)
+            "bary": (pw * hit_f).reshape(H, W, 3),
         }
 
     # chunk the pose axis to bound live memory; lax.map traces once
