@@ -19,4 +19,12 @@ SavaRobotics/FoundationPose (see SURVEY.md at the repo root):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU, f32 matmuls default to fast bf16 MXU passes (~0.4% relative error).
+# Every f32 matmul in this framework is camera/pose geometry where that error
+# is centimeters at scene scale (the ICP solver, crop projections, barycentric
+# setup). Model code computes in bf16 explicitly and is unaffected by this.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from foundationpose_tpu.core import geometry  # noqa: F401

@@ -26,7 +26,7 @@ from foundationpose_tpu.ops import raster
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_size", "normalize_xyz", "use_normal"),
+    static_argnames=("out_size", "normalize_xyz", "use_normal", "use_pallas"),
 )
 def make_crop_batch(
     mesh_tensors,
@@ -40,6 +40,7 @@ def make_crop_batch(
     normalize_xyz=True,
     z_invalid_thres=0.001,
     use_normal=False,
+    use_pallas=False,
 ):
     """Build network inputs for a batch of pose hypotheses.
 
@@ -61,10 +62,17 @@ def make_crop_batch(
 
     tfs = geo.compute_crop_window_tf_batch(poses, K, crop_ratio, mesh_diameter, (S, S))
 
-    r = raster.render_crops(
-        mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
-        with_normal=use_normal,
-    )
+    if use_pallas:
+        from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
+
+        r = render_crops_pallas(
+            mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True
+        )
+    else:
+        r = raster.render_crops(
+            mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
+            with_normal=use_normal,
+        )
     rgbA = r["rgb"]  # already [0,1]
     xyzA = r["xyz"]
 

@@ -73,13 +73,23 @@ class GeometricConfig:
     crop_ratio: float = 1.2
     input_size: int = 160
     tau_rel: float = 0.05  # inlier threshold as a fraction of mesh diameter
+    # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
+    use_pallas: bool | None = None
+
+
+def _resolve(config: GeometricConfig) -> GeometricConfig:
+    if config.use_pallas is None:
+        config = dataclasses.replace(
+            config, use_pallas=jax.default_backend() != "cpu"
+        )
+    return config
 
 
 class GeometricRefiner:
     """Projective-ICP refiner with the PoseRefiner.predict interface."""
 
     def __init__(self, config: GeometricConfig = GeometricConfig()):
-        self.cfg = config
+        self.cfg = _resolve(config)
 
     def predict(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter, iteration=5):
         return _icp_refine(
@@ -142,6 +152,7 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
             mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
             crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
             normalize_xyz=False, z_invalid_thres=0.001, use_normal=True,
+            use_pallas=bool(cfg.use_pallas),
         )
         # un-center the crop xyz maps (normalize_xyz=False still subtracts t)
         t = poses[:, :3, 3][:, None, None, :]
@@ -176,7 +187,7 @@ class GeometricScorer:
     """Depth-consistency scorer with the PoseScorer.predict interface."""
 
     def __init__(self, config: GeometricConfig = GeometricConfig()):
-        self.cfg = config
+        self.cfg = _resolve(config)
 
     def predict(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
         return _geo_score(
@@ -197,6 +208,7 @@ def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
         normalize_xyz=False, z_invalid_thres=0.001,
+        use_pallas=bool(cfg.use_pallas),
     )
     t = poses[:, :3, 3][:, None, None, :]
     zA = data["inputA"][..., 5] + t[..., 2]

@@ -40,10 +40,16 @@ class RefinerConfig:
     c_in: int = 6
     norm: str | None = None
     dtype: str = "bfloat16"
+    # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
+    use_pallas: bool | None = None
 
 
 class PoseRefiner:
     def __init__(self, config: RefinerConfig = RefinerConfig(), params=None, seed=0):
+        if config.use_pallas is None:
+            config = dataclasses.replace(
+                config, use_pallas=jax.default_backend() != "cpu"
+            )
         self.cfg = config
         self.net = RefineNet(
             c_in=config.c_in,
@@ -106,6 +112,7 @@ def refine_once(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
         normalize_xyz=cfg.normalize_xyz, z_invalid_thres=0.001,
+        use_pallas=bool(cfg.use_pallas),
     )
     out = net.apply(params, data["inputA"], data["inputB"])
     trans_delta, rot_mat_delta = decode_delta(out, cfg, mesh_diameter)

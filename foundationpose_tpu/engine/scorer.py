@@ -28,10 +28,16 @@ class ScorerConfig:
     c_in: int = 6
     norm: str | None = None
     dtype: str = "bfloat16"
+    # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
+    use_pallas: bool | None = None
 
 
 class PoseScorer:
     def __init__(self, config: ScorerConfig = ScorerConfig(), params=None, seed=0):
+        if config.use_pallas is None:
+            config = dataclasses.replace(
+                config, use_pallas=jax.default_backend() != "cpu"
+            )
         self.cfg = config
         self.net = ScoreNetMultiPair(
             c_in=config.c_in,
@@ -65,6 +71,7 @@ def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diam
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
         normalize_xyz=cfg.normalize_xyz,
         z_invalid_thres=0.1,  # TripletH5Dataset semantics (h5_dataset.py:151)
+        use_pallas=bool(cfg.use_pallas),
     )
     out = net.apply(params, data["inputA"], data["inputB"], poses.shape[0])
     return out["score_logit"].reshape(-1)
