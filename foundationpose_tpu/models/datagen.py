@@ -1,0 +1,189 @@
+"""Synthetic render-and-compare training data.
+
+The reference trains its networks from pre-rendered H5 archives
+(learning/datasets/h5_dataset.py) that are not distributed. This module
+generates equivalent training pairs on the fly with the framework's own
+renderer — fully on device, one jitted program:
+
+- sample ground-truth object poses in the camera frustum;
+- 'observed' crop B = render at the GT pose; 'hypothesis' crop A = render at
+  a perturbed pose (perturbations bounded by the refiner normalizers, the
+  distribution TrainRefinerConfig implies);
+- both rendered straight into the crop window of the PERTURBED pose and
+  normalized exactly like the test-time pipeline (engine/crop.py), so
+  train/test inputs match by construction;
+- targets are the egocentric deltas the refiner must predict, or the ADD
+  ranking the scorer must respect.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from foundationpose_tpu.core import geometry as geo
+from foundationpose_tpu.ops import raster
+from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
+
+
+def _sample_poses(key, batch, z_range=(0.4, 1.0), xy_frac=0.25):
+    """Random rotations + translations in the frustum."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = jax.random.normal(k1, (batch, 3)) * 2.0
+    R = geo.so3_exp_map(w)
+    z = jax.random.uniform(k2, (batch, 1), minval=z_range[0], maxval=z_range[1])
+    xy = jax.random.uniform(k3, (batch, 2), minval=-xy_frac, maxval=xy_frac) * z
+    t = jnp.concatenate([xy, z], axis=-1)
+    poses = jnp.zeros((batch, 4, 4)).at[:, 3, 3].set(1.0)
+    poses = poses.at[:, :3, :3].set(R).at[:, :3, 3].set(t)
+    return poses
+
+
+def _perturb(key, poses, trans_scale, rot_scale):
+    k1, k2 = jax.random.split(key)
+    dt = jax.random.uniform(k1, (poses.shape[0], 3), minval=-1, maxval=1) * trans_scale
+    dw = jax.random.uniform(k2, (poses.shape[0], 3), minval=-1, maxval=1) * rot_scale
+    dR = geo.so3_exp_map(dw)
+    return geo.egocentric_delta_pose_to_pose(poses, dt, dR)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("batch", "input_size", "normalize_xyz", "use_pallas"),
+)
+def make_refine_batch(
+    key,
+    mesh_tensors,
+    K,
+    mesh_diameter,
+    batch=32,
+    input_size=160,
+    crop_ratio=1.2,
+    trans_scale=0.02,
+    rot_scale=0.3490658503988659,  # 20 deg
+    normalize_xyz=True,
+    use_pallas=False,
+):
+    """Returns dict: A (B,S,S,6) hypothesis crops, B (B,S,S,6) observed crops,
+    trans_gt (B,3), rot_gt (B,3,3) — the egocentric deltas A->B."""
+    S = input_size
+    kp, kd, kn = jax.random.split(key, 3)
+    gt = _sample_poses(kp, batch)
+    hyp = _perturb(kd, gt, trans_scale, rot_scale)
+
+    tfs = geo.compute_crop_window_tf_batch(hyp, K, crop_ratio, mesh_diameter, (S, S))
+    render = render_crops_pallas if use_pallas else raster.render_crops
+    rA = render(mesh_tensors, hyp, K, tfs, out_hw=(S, S), use_light=True)
+    rB = render(mesh_tensors, gt, K, tfs, out_hw=(S, S), use_light=True)
+
+    t = hyp[:, :3, 3]
+
+    def norm(xyz):
+        invalid = xyz[..., 2:3] < 0.001
+        c = xyz - t[:, None, None, :]
+        if not normalize_xyz:
+            return c
+        scaled = c / (mesh_diameter / 2.0)
+        bad = invalid | (jnp.abs(scaled) >= 2)
+        return jnp.where(bad, 0.0, scaled)
+
+    A = jnp.concatenate([rA["rgb"], norm(rA["xyz"])], axis=-1)
+    B = jnp.concatenate([rB["rgb"], norm(rB["xyz"])], axis=-1)
+    trans_gt, rot_gt = geo.pose_to_egocentric_delta_pose(hyp, gt)
+    return {"A": A, "B": B, "trans_gt": trans_gt, "rot_gt": rot_gt,
+            "poseA": hyp, "poseB": gt}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_hyp", "input_size", "normalize_xyz", "use_pallas"),
+)
+def make_score_batch(
+    key,
+    mesh_tensors,
+    K,
+    mesh_diameter,
+    model_pts,
+    n_hyp=16,
+    input_size=160,
+    crop_ratio=1.2,
+    trans_scale=0.04,
+    rot_scale=0.9,
+    normalize_xyz=True,
+    use_pallas=False,
+):
+    """One frame with ``n_hyp`` perturbed hypotheses of one GT pose, plus
+    their ADD errors (ranking supervision, TrainingConfig 'pairwise_valid')."""
+    S = input_size
+    kp, kd = jax.random.split(key)
+    gt = _sample_poses(kp, 1)
+    gt = jnp.repeat(gt, n_hyp, axis=0)
+    hyp = _perturb(kd, gt, trans_scale, rot_scale)
+
+    tfs = geo.compute_crop_window_tf_batch(hyp, K, crop_ratio, mesh_diameter, (S, S))
+    render = render_crops_pallas if use_pallas else raster.render_crops
+    rA = render(mesh_tensors, hyp, K, tfs, out_hw=(S, S), use_light=True)
+    rB = render(mesh_tensors, gt, K, tfs, out_hw=(S, S), use_light=True)
+
+    t = hyp[:, :3, 3]
+
+    def norm(xyz):
+        invalid = xyz[..., 2:3] < 0.1
+        c = xyz - t[:, None, None, :]
+        if not normalize_xyz:
+            return c
+        scaled = c / (mesh_diameter / 2.0)
+        bad = invalid | (jnp.abs(scaled) >= 2)
+        return jnp.where(bad, 0.0, scaled)
+
+    A = jnp.concatenate([rA["rgb"], norm(rA["xyz"])], axis=-1)
+    B = jnp.concatenate([rB["rgb"], norm(rB["xyz"])], axis=-1)
+    pts_h = geo.transform_pts(model_pts, hyp)
+    pts_g = geo.transform_pts(model_pts, gt)
+    adds = jnp.linalg.norm(pts_h - pts_g, axis=-1).mean(axis=-1)  # ADD per hyp
+    return {"A": A, "B": B, "adds": adds}
+
+
+def train_refiner_synthetic(mesh, K, steps=200, batch=16, input_size=64,
+                            seed=0, lr=1e-4, log_every=50):
+    """Small end-to-end training driver: RefineNet on on-the-fly synthetic
+    pairs. Returns (net, params, losses)."""
+    import logging
+
+    import numpy as np
+    import optax
+
+    from foundationpose_tpu.core import meshio
+    from foundationpose_tpu.models import training
+    from foundationpose_tpu.models.refine_net import RefineNet
+
+    bounds = mesh.bounds
+    centered = mesh.translated(-(bounds[0] + bounds[1]) / 2)
+    mt = raster.make_mesh_tensors(centered)
+    diameter = meshio.compute_mesh_diameter(mesh=centered)
+
+    net = RefineNet(c_in=6, dtype=jnp.float32)
+    params, tx, opt_state = training.make_refiner_train_state(
+        net, jax.random.PRNGKey(seed), input_size=input_size, lr=lr
+    )
+    key = jax.random.PRNGKey(seed + 1)
+    losses = []
+    for it in range(steps):
+        key, kb = jax.random.split(key)
+        data = make_refine_batch(
+            kb, mt, jnp.asarray(K, jnp.float32), diameter,
+            batch=batch, input_size=input_size,
+        )
+        batch_t = {
+            "A": data["A"], "B": data["B"],
+            "trans_gt": data["trans_gt"], "rot_gt": data["rot_gt"],
+        }
+        params, opt_state, loss = training.refiner_train_step(
+            net, tx, params, opt_state, batch_t
+        )
+        losses.append(float(loss))
+        if it % log_every == 0:
+            logging.info("refiner train step %d loss %.5f", it, losses[-1])
+    return net, params, losses

@@ -37,23 +37,34 @@ A_DIM = 16  # padded for lane alignment of slices
 FC = 128  # face chunk (lane dimension of the bary matmuls)
 
 
-def _raster_kernel(pix_ref, coeff_ref, invz_ref, attr_ref, out_ref):
+def _raster_kernel(pix_ref, coeff_ref, invz_ref, attr_ref, active_ref, out_ref):
     """One (pose, pixel-tile) cell.
 
-    pix_ref:   (Pt, 3)            pixel homogeneous coords
-    coeff_ref: (1, 9, F)          rows 3k..3k+2 = coeff rows of bary comp k
-    invz_ref:  (1, 3, F)          per-corner 1/z
-    attr_ref:  (1, 3, F, A_DIM)   per-corner attributes
-    out_ref:   (1, Pt, A_DIM)     interpolated attrs; col 11 = hit mask
+    pix_ref:    (Pt, 3)            pixel homogeneous coords
+    coeff_ref:  (1, 9, F)          rows 3k..3k+2 = coeff rows of bary comp k
+    invz_ref:   (1, 3, F)          per-corner 1/z
+    attr_ref:   (1, 3, F, A_DIM)   per-corner attributes
+    active_ref: (1, T, Cp)         face-chunk x tile overlap (culling mask)
+    out_ref:    (1, Pt, A_DIM)     interpolated attrs; col 11 = hit mask
     """
     Pt = pix_ref.shape[0]
     F = coeff_ref.shape[2]
     n_chunks = F // FC
+    tile = pl.program_id(1)
 
     px = pix_ref[:, 0:1]  # (Pt,1)
     py = pix_ref[:, 1:2]
 
     def body(c, carry):
+        # tile culling: skip chunks whose faces' y-extent misses this tile
+        return jax.lax.cond(
+            active_ref[0, tile, c] != 0,
+            lambda cy: _chunk_step(c, cy),
+            lambda cy: cy,
+            carry,
+        )
+
+    def _chunk_step(c, carry):
         best_score, bary, attrs = carry
         ds = pl.ds(c * FC, FC)
         # exact-f32 barycentrics on the VPU (bary decides visibility and
@@ -116,7 +127,7 @@ def _raster_kernel(pix_ref, coeff_ref, invz_ref, attr_ref, out_ref):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "use_light", "interpret", "pixel_tile"),
+    static_argnames=("out_hw", "use_light", "interpret", "tile_rows"),
 )
 def render_crops_pallas(
     mesh_tensors,
@@ -129,11 +140,12 @@ def render_crops_pallas(
     w_diffuse=0.5,
     light_dir=(0.0, 0.0, 1.0),
     interpret=False,
-    pixel_tile=1024,
+    tile_rows=8,
 ):
     """Pallas fast path: same contract as ops.raster.render_crops minus the
     tri/bary debug outputs. Vertex-color and textured meshes supported (uv
-    interpolated in-kernel, texture sampled outside)."""
+    interpolated in-kernel, texture sampled outside). Pixel tiles are bands of
+    ``tile_rows`` rows so face chunks can be culled against a tile's y-range."""
     H, W = out_hw
     poses = jnp.asarray(poses, jnp.float32)
     K = jnp.asarray(K, jnp.float32)
@@ -199,23 +211,44 @@ def render_crops_pallas(
         attr = vert_attr[faces]  # (Fp,3,A_DIM)
         attr = attr.at[:, :, 0].set(1.0 / jnp.maximum(tri_z, ZNEAR))
         attr = attr.transpose(1, 0, 2)  # (3, Fp, A_DIM)
-        return coeffT, invz, attr
 
-    coeffT, invz, attr = jax.vmap(prep)(poses, crop_tfs)
+        # per-face y-extent for tile culling (invalid faces never overlap)
+        y = tri_xy[..., 1]  # (Fp,3)
+        ymin = jnp.where(valid, y.min(axis=-1), jnp.inf)
+        ymax = jnp.where(valid, y.max(axis=-1), -jnp.inf)
+        return coeffT, invz, attr, ymin, ymax
 
-    # ---- pixel grid ----
+    coeffT, invz, attr, ymin, ymax = jax.vmap(prep)(poses, crop_tfs)
+
+    # ---- pixel grid: row bands of tile_rows rows ----
     P = H * W
-    Pt = pixel_tile
-    Pp = ((P + Pt - 1) // Pt) * Pt
+    Pt = tile_rows * W
+    Hp = ((H + tile_rows - 1) // tile_rows) * tile_rows
+    Pp = Hp * W
     jj, ii = jnp.meshgrid(
-        jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32)
+        jnp.arange(W, dtype=jnp.float32), jnp.arange(Hp, dtype=jnp.float32)
     )
     pix = jnp.stack(
-        [jj.reshape(-1), ii.reshape(-1), jnp.ones(P, jnp.float32)], axis=-1
+        [jj.reshape(-1), ii.reshape(-1), jnp.ones(Pp, jnp.float32)], axis=-1
     )
-    if Pp != P:
-        pix = jnp.concatenate([pix, jnp.zeros((Pp - P, 3), jnp.float32)])
     n_tiles = Pp // Pt
+
+    # chunk-vs-tile overlap: does any face in the chunk span this row band?
+    C = Fp // FC
+    cy_min = ymin.reshape(B, C, FC).min(axis=-1)  # (B,C)
+    cy_max = ymax.reshape(B, C, FC).max(axis=-1)
+    r0 = jnp.arange(n_tiles, dtype=jnp.float32) * tile_rows - 1.0
+    r1 = r0 + tile_rows + 2.0
+    active = (
+        (cy_min[:, None, :] <= r1[None, :, None])
+        & (cy_max[:, None, :] >= r0[None, :, None])
+    ).astype(jnp.int32)  # (B, T, C)
+    # pad the chunk axis to the 128-lane tile so the block is aligned
+    Cp = ((C + 127) // 128) * 128
+    if Cp != C:
+        active = jnp.concatenate(
+            [active, jnp.zeros((B, n_tiles, Cp - C), jnp.int32)], axis=-1
+        )
 
     out = pl.pallas_call(
         _raster_kernel,
@@ -225,6 +258,9 @@ def render_crops_pallas(
             pl.BlockSpec((1, 9, Fp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Fp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Fp, A_DIM), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            # SMEM: the culling bitmap is read one scalar at a time with a
+            # dynamic chunk index, which VMEM lane addressing cannot do
+            pl.BlockSpec((1, n_tiles, Cp), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, Pt, A_DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
@@ -240,7 +276,7 @@ def render_crops_pallas(
                 )
             }
         ),
-    )(pix, coeffT, invz, attr)
+    )(pix, coeffT, invz, attr, active)
 
     out = out[:, :P].reshape(B, H, W, A_DIM)
     xyz = out[..., 1:4]

@@ -18,7 +18,7 @@ def _compare(mesh, poses, out_hw=(64, 64), use_light=True, atol=2e-3):
     )
     fast = render_crops_pallas(
         mt, poses, K, tfs, out_hw=out_hw, use_light=use_light,
-        interpret=True, pixel_tile=1024,
+        interpret=True, tile_rows=8,
     )
     mref = np.asarray(ref["mask"])
     mfast = np.asarray(fast["mask"])
@@ -71,7 +71,7 @@ def test_pallas_empty_when_behind():
     tfs = np.eye(3)[None].astype(np.float32)
     out = render_crops_pallas(
         mt, pose[None].astype(np.float32), K, tfs, out_hw=(64, 64),
-        interpret=True, pixel_tile=1024,
+        interpret=True, tile_rows=8,
     )
     assert not np.asarray(out["mask"]).any()
     assert np.isfinite(np.asarray(out["rgb"])).all()
