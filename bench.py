@@ -75,6 +75,10 @@ def main():
         est.track_one(rgb, depth, K)
     track_fps = n_track / (time.perf_counter() - t0)
 
+    # neural-field training throughput (rays/s at the reference's 2048-ray,
+    # 256-samples-per-ray budget)
+    field_rays_per_s = _bench_field()
+
     baseline_hyp_per_s = 194.0
     print(
         json.dumps(
@@ -85,12 +89,52 @@ def main():
                 "vs_baseline": round(hyp_per_s / baseline_hyp_per_s, 3),
                 "register_s": round(register_s, 4),
                 "track_fps": round(track_fps, 2),
+                "field_rays_per_s": round(field_rays_per_s, 0),
                 "n_hypotheses": int(n_hyp),
                 "compile_s": round(compile_s, 1),
                 "device": str(dev),
             }
         )
     )
+
+
+def _bench_field():
+    import jax
+    import numpy as np
+
+    from foundationpose_tpu.field.runner import FieldConfig, NeRFRunnerTPU
+
+    rng = np.random.default_rng(0)
+    H, W = 120, 160
+    K = np.array([[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1]])
+    n_frames = 4
+    # synthetic sphere depth frames
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(us - K[0, 2]) / K[0, 0], (vs - K[1, 2]) / K[1, 1], np.ones_like(us)], -1)
+    o = np.array([0.0, 0.0, -1.2])
+    a = (dirs * dirs).sum(-1)
+    b = 2 * (dirs * o).sum(-1)
+    c = (o * o).sum() - 0.5**2
+    disc = b * b - 4 * a * c
+    hit = disc > 0
+    t = (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a)
+    depth = np.where(hit & (t > 0), t, 0).astype(np.float32)
+    rgbs = np.tile((0.5 * hit[..., None]).astype(np.float32)[None], (n_frames, 1, 1, 3))
+    depths = np.tile(depth[None], (n_frames, 1, 1))
+    masks = np.tile(hit[None].astype(np.uint8), (n_frames, 1, 1))
+    poses = np.tile(np.eye(4)[None], (n_frames, 1, 1))
+    poses[:, :3, 3] = o
+    occ = rng.uniform(-0.6, 0.6, (2048, 3))
+    cfg = FieldConfig(n_step=1)
+    runner = NeRFRunnerTPU(cfg, rgbs, depths, masks, poses, K, occ, 1.0, np.zeros(3))
+    runner.train(n_step=2, log_every=10)  # compile + warm
+    import time as _time
+
+    n = 20
+    t0 = _time.perf_counter()
+    runner.train(n_step=n, log_every=1000)
+    dt = _time.perf_counter() - t0
+    return n * cfg.n_rand / dt
 
 
 if __name__ == "__main__":

@@ -86,6 +86,31 @@ def stratified_samples(key, near, far, n_samples):
     return lower + (upper - lower) * u
 
 
+def sample_pdf(key, bins, weights, n_samples, deterministic=False):
+    """Inverse-CDF importance sampling along rays (hierarchical sampling,
+    parity with reference nerf_helpers.py:358-385). bins: (N,B); weights:
+    (N,B-1). Returns (N,n_samples)."""
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (N,B)
+    N = cdf.shape[0]
+    if deterministic:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples), (N, n_samples))
+    else:
+        u = jax.random.uniform(key, (N, n_samples))
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
 def sample_rays(key, rays_o, rays_d, depth, occ_grid, n_uniform, n_around_depth,
                 trunc, near_far=None, neg_trunc_ratio=1.0, far_default=2.0):
     """Build per-ray sample depths + validity.

@@ -14,6 +14,21 @@ import os
 import numpy as np
 
 
+def rle_to_mask(rle: dict):
+    """Binary mask from an uncompressed RLE dict {'size': (h,w), 'counts':
+    [...]} — SAM-style output (parity with reference Utils.py:442-453,
+    including its column-major decode)."""
+    h, w = rle["size"]
+    mask = np.empty(h * w, dtype=bool)
+    idx = 0
+    parity = False
+    for count in rle["counts"]:
+        mask[idx : idx + count] = parity
+        idx += count
+        parity ^= True
+    return mask.reshape(w, h).transpose()
+
+
 def load_mask(mask_path, shape=None):
     """Load a binary mask png/npy; optionally validate the shape."""
     if not os.path.exists(mask_path):
