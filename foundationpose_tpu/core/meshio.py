@@ -60,6 +60,24 @@ def compute_face_normals(vertices, faces):
     return n  # area-weighted (unnormalized)
 
 
+def is_watertight(mesh: "Mesh") -> bool:
+    """True when every undirected edge is shared by exactly two faces with
+    opposite orientation (closed, consistently-wound surface). Used to decide
+    whether backface culling is exact for this mesh."""
+    f = np.asarray(mesh.faces, dtype=np.int64)
+    if len(f) == 0:
+        return False
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    # directed-edge keys; a consistently wound closed mesh has each directed
+    # edge exactly once and its reverse exactly once
+    n = int(max(f.max() + 1, 1))
+    key = edges[:, 0] * n + edges[:, 1]
+    rkey = edges[:, 1] * n + edges[:, 0]
+    if len(np.unique(key)) != len(key):
+        return False
+    return bool(np.isin(key, rkey).all())
+
+
 def compute_vertex_normals(vertices, faces):
     """Area-weighted vertex normals."""
     fn = compute_face_normals(vertices, faces)

@@ -26,7 +26,9 @@ from foundationpose_tpu.ops import raster
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_size", "normalize_xyz", "use_normal", "use_pallas"),
+    static_argnames=(
+        "out_size", "normalize_xyz", "use_normal", "use_pallas", "backface_cull",
+    ),
 )
 def make_crop_batch(
     mesh_tensors,
@@ -41,6 +43,7 @@ def make_crop_batch(
     z_invalid_thres=0.001,
     use_normal=False,
     use_pallas=False,
+    backface_cull=False,
 ):
     """Build network inputs for a batch of pose hypotheses.
 
@@ -66,7 +69,8 @@ def make_crop_batch(
         from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
 
         r = render_crops_pallas(
-            mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True
+            mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
+            backface_cull=backface_cull,
         )
     else:
         r = raster.render_crops(
@@ -76,8 +80,9 @@ def make_crop_batch(
     rgbA = r["rgb"]  # already [0,1]
     xyzA = r["xyz"]
 
-    rgbB = imops.warp_perspective(rgb, tfs, (S, S), mode="bilinear") / 255.0
-    xyzB = imops.warp_perspective(xyz_map, tfs, (S, S), mode="nearest")
+    # crop tfs are scale+translate by construction -> separable MXU warp
+    rgbB = imops.warp_crop_affine(rgb, tfs, (S, S), mode="bilinear") / 255.0
+    xyzB = imops.warp_crop_affine(xyz_map, tfs, (S, S), mode="nearest")
 
     t = poses[:, :3, 3]
 

@@ -77,9 +77,15 @@ class FoundationPoseTPU:
         self.reset_object(mesh, symmetry_tfs)
         self.refiner = refiner or PoseRefiner(self.cfg.refiner)
         self.scorer = scorer or PoseScorer(self.cfg.scorer)
+        if self.watertight:
+            self._enable_backface_cull()
         self.pose_last = None
         self.scores = None
         self.poses = None
+
+    def _enable_backface_cull(self):
+        self.refiner.cfg = dataclasses.replace(self.refiner.cfg, backface_cull=True)
+        self.scorer.cfg = dataclasses.replace(self.scorer.cfg, backface_cull=True)
 
     # ------------------------------------------------------------------
     def reset_object(self, mesh: meshio.Mesh, symmetry_tfs=None):
@@ -103,6 +109,11 @@ class FoundationPoseTPU:
             symmetry_tfs=self.symmetry_tfs,
             cluster_angle_deg=self.cfg.cluster_angle_deg,
         ).astype(np.float32)
+        # backface culling is exact for closed CCW meshes and halves the
+        # rasterizer's face work; enable it automatically when safe
+        self.watertight = meshio.is_watertight(centered)
+        if self.watertight and hasattr(self, "refiner"):
+            self._enable_backface_cull()
         logging.info(
             "reset_object: diameter=%.4f rot_grid=%s render_faces=%d",
             self.diameter, self.rot_grid.shape, self.mesh_tensors["faces"].shape[0],

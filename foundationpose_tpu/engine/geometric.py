@@ -75,6 +75,8 @@ class GeometricConfig:
     tau_rel: float = 0.05  # inlier threshold as a fraction of mesh diameter
     # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
     use_pallas: bool | None = None
+    # drop camera-facing-away triangles (exact for closed CCW meshes)
+    backface_cull: bool = False
 
 
 def _resolve(config: GeometricConfig) -> GeometricConfig:
@@ -152,7 +154,7 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
             mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
             crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
             normalize_xyz=False, z_invalid_thres=0.001, use_normal=True,
-            use_pallas=bool(cfg.use_pallas),
+            use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
         )
         # un-center the crop xyz maps (normalize_xyz=False still subtracts t)
         t = poses[:, :3, 3][:, None, None, :]
@@ -208,7 +210,7 @@ def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
         normalize_xyz=False, z_invalid_thres=0.001,
-        use_pallas=bool(cfg.use_pallas),
+        use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
     )
     t = poses[:, :3, 3][:, None, None, :]
     zA = data["inputA"][..., 5] + t[..., 2]

@@ -42,6 +42,9 @@ class RefinerConfig:
     dtype: str = "bfloat16"
     # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
     use_pallas: bool | None = None
+    # exact for closed CCW meshes; the estimator auto-enables it when the
+    # mesh is watertight (halves rasterizer work)
+    backface_cull: bool = False
 
 
 class PoseRefiner:
@@ -112,7 +115,7 @@ def refine_once(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
         normalize_xyz=cfg.normalize_xyz, z_invalid_thres=0.001,
-        use_pallas=bool(cfg.use_pallas),
+        use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
     )
     out = net.apply(params, data["inputA"], data["inputB"])
     trans_delta, rot_mat_delta = decode_delta(out, cfg, mesh_diameter)

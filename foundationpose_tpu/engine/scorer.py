@@ -30,6 +30,9 @@ class ScorerConfig:
     dtype: str = "bfloat16"
     # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
     use_pallas: bool | None = None
+    # exact for closed CCW meshes; the estimator auto-enables it when the
+    # mesh is watertight (halves rasterizer work)
+    backface_cull: bool = False
 
 
 class PoseScorer:
@@ -71,7 +74,7 @@ def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diam
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
         normalize_xyz=cfg.normalize_xyz,
         z_invalid_thres=0.1,  # TripletH5Dataset semantics (h5_dataset.py:151)
-        use_pallas=bool(cfg.use_pallas),
+        use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
     )
     out = net.apply(params, data["inputA"], data["inputB"], poses.shape[0])
     return out["score_logit"].reshape(-1)

@@ -20,6 +20,7 @@ exactly like the reference couples them (nerf_runner.py:769-771).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import pickle
 from typing import Any
@@ -284,25 +285,49 @@ class NeRFRunnerTPU:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, aux
 
+        n_rand = cfg.n_rand
+
+        # multi-step chunk: the whole inner loop (ray sampling + field fwd/bwd
+        # + Adam) runs on-device under one lax.scan dispatch with donated
+        # state — per-step host round-trips would dominate on a
+        # remote-attached chip
+        @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
+        def train_chunk(params, opt_state, key, rays, n_steps):
+            def body(carry, _):
+                params, opt_state, key = carry
+                key, k_ids, k_step = jax.random.split(key, 3)
+                ids = jax.random.randint(k_ids, (n_rand,), 0, rays.shape[0])
+                batch = rays[ids]
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch, k_step
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), None, length=n_steps
+            )
+            return params, opt_state, key, losses
+
+        self._train_chunk = train_chunk
         return train_step
 
     # ------------------------------------------------------------------
     def train(self, n_step=None, log_every=100):
         n_step = n_step or self.cfg.n_step
-        n_rays = self.rays.shape[0]
-        rng = np.random.default_rng(self.cfg.seed)
-        for it in range(n_step):
-            ids = rng.integers(0, n_rays, self.cfg.n_rand)
-            batch = self.rays[jnp.asarray(ids)]
-            self._rng, key = jax.random.split(self._rng)
-            self.params, self.opt_state, loss, aux = self._train_step(
-                self.params, self.opt_state, key, batch
+        last_loss = 0.0
+        done = 0
+        while done < n_step:
+            k = min(log_every, n_step - done)
+            self.params, self.opt_state, self._rng, losses = self._train_chunk(
+                self.params, self.opt_state, self._rng, self.rays, n_steps=k
             )
-            if it % log_every == 0:
-                aux = {k: float(v) for k, v in aux.items()}
-                logging.info("step %d loss=%.4f %s", it, float(loss), aux)
-            self.global_step += 1
-        return float(loss)
+            last_loss = float(losses[-1])
+            logging.info("step %d loss=%.4f", self.global_step + k - 1, last_loss)
+            self.global_step += k
+            done += k
+        return last_loss
 
     # ------------------------------------------------------------------
     def sdf_fn(self, pts):

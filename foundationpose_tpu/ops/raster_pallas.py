@@ -2,18 +2,26 @@
 
 Same math as ops/raster.py (the XLA reference implementation, kept for CPU
 tests and for paths that need tri/bary outputs), restructured so the
-pixel x face work never leaves VMEM:
+pixel x face work never leaves VMEM and the inner loop touches each
+pixel x face pair with the minimum possible VPU work:
 
-- grid (pose, pixel-tile); the per-pose face tables (barycentric coefficient
-  matrix, per-corner 1/z, per-corner attributes) are VMEM-resident blocks;
-- per face-chunk: the three barycentric components for a whole pixel tile are
-  three (Pt,3) @ (3,Fc) MXU matmuls; inside-test + running z-argmax on the
-  VPU (structure-of-arrays — Mosaic has no cheap lane regrouping, so nothing
-  is ever reshaped);
-- the winning face's per-corner attributes are selected with one-hot
-  (Pt,Fc) @ (Fc,A) MXU matmuls — no gathers anywhere;
-- perspective-correct interpolation from the carried corner attributes after
-  the loop.
+- grid (pose, pixel-tile); per-pose face tables are VMEM-resident blocks;
+- faces are SORTED by their crop-space y-extent at prep time (invalid /
+  culled faces to the end), so the per-(tile, face-chunk) overlap bitmap
+  actually culls: each 128-face chunk spans a narrow row band and most
+  chunks are skipped for most tiles;
+- the chunk loop carries only per-LANE running bests (score + chunk id) —
+  no cross-lane reductions or attribute selection inside the loop;
+- after the loop, one cross-lane argmax finds each pixel's winning face and
+  a one-hot (Pt,128) @ (128,64) MXU matmul over just the winning chunk(s)
+  fetches the face's full table row (barycentric coefficients + per-corner
+  attributes) — bf16_3x passes are exact for a 0/1 one-hot times f32 table;
+- perspective-correct interpolation recomputes the winner's barycentrics
+  from the fetched coefficients in exact f32.
+
+Optional backface culling (valid for closed, consistently CCW-wound meshes
+— the estimator enables it automatically for watertight meshes) removes
+~half the face chunks before they are ever touched.
 
 Replaces the reference's nvdiffrast CUDA rasterizer (consumed at
 src/Utils.py:133-219) for the refine/score render path.
@@ -31,103 +39,134 @@ from jax.experimental.pallas import tpu as pltpu
 
 from foundationpose_tpu.ops.raster import _bary_coeffs, _signed_area2, ZNEAR
 
-# attribute layout per face corner (A_DIM columns):
-# 0: 1/z   1-3: xyz_cam   4-6: normal_cam   7-9: rgb (or uv,pad)   10: diffuse
-A_DIM = 16  # padded for lane alignment of slices
-FC = 128  # face chunk (lane dimension of the bary matmuls)
+# pass-2 fetch-table layout, one 64-wide row per face (pre-rounded to bf16 so
+# the one-pass MXU one-hot fetch is exact; every quantity is stored in a
+# locally-centered form so bf16 quantization is harmless — see prep()):
+# 0-8:   anchored barycentric triplets [a_k, b_k, w0_k] for k=0..2
+#        (w_k = a_k*(px-x0) + b_k*(py-y0) + w0_k; x0,y0 = face centroid)
+# 9,10:  anchor (x0, y0)
+# 16+16k .. 31+16k (k=0..2): per-corner attributes:
+#        [invz, xyz_cam-POSE_T(3), normal_cam(3), rgb-or-uv(3), diffuse, 0*5]
+# The z-test loop (pass 1) reads full-f32 coefficient/invz tensors instead.
+A_DIM = 16   # per-corner attribute width (col 11 of the output = hit mask)
+T_DIM = 64   # fetch-table row width
+FC = 128     # face chunk (lane dimension of the chunk loop)
 
 
-def _raster_kernel(pix_ref, coeff_ref, invz_ref, attr_ref, active_ref, out_ref):
+def _raster_kernel(pix_ref, coeff_ref, invz_ref, table_ref, ranges_ref, out_ref):
     """One (pose, pixel-tile) cell.
 
     pix_ref:    (Pt, 3)            pixel homogeneous coords
     coeff_ref:  (1, 9, F)          rows 3k..3k+2 = coeff rows of bary comp k
     invz_ref:   (1, 3, F)          per-corner 1/z
-    attr_ref:   (1, 3, F, A_DIM)   per-corner attributes
-    active_ref: (1, T, Cp)         face-chunk x tile overlap (culling mask)
+    table_ref:  (1, F, T_DIM)      bf16-quantized fetch rows (sorted order)
+    ranges_ref: (1, T, 2) SMEM     [lo, hi) face-chunk range for this tile
+                                   (faces are y-sorted, so the overlapping
+                                   chunks are a contiguous run — dynamic loop
+                                   bounds replace a per-chunk lax.cond, which
+                                   costs ~0.4 us per chunk per cell)
     out_ref:    (1, Pt, A_DIM)     interpolated attrs; col 11 = hit mask
     """
     Pt = pix_ref.shape[0]
-    F = coeff_ref.shape[2]
-    n_chunks = F // FC
     tile = pl.program_id(1)
+    c_lo = ranges_ref[0, tile, 0]
+    c_hi = ranges_ref[0, tile, 1]
 
     px = pix_ref[:, 0:1]  # (Pt,1)
     py = pix_ref[:, 1:2]
+    # hoist the lane-broadcast of the pixel coords out of the chunk loop
+    pxb = jnp.broadcast_to(px, (Pt, FC))
+    pyb = jnp.broadcast_to(py, (Pt, FC))
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Pt, FC), 1)
+    lane_rev = FC - 1 - lane_iota  # tie-break: prefer the LOWEST lane
 
+    # ---- pass 1: per-lane best (score, chunk) over the active chunk run ----
+    # The score carry is an order-preserving int32 packing of the f32 score
+    # with the lane id in the low 7 mantissa bits: one cross-lane int-max
+    # then recovers both the winner's score and its lane. (Cross-lane
+    # reductions are ~5 us each on (Pt,128); packing cuts three of them to
+    # one.) Clobbering 7 mantissa bits costs 2^-16 relative z-resolution —
+    # far below visible z-fighting. The plain bitcast is order-preserving
+    # on the score domain {-1.0} u (0, inf).
     def body(c, carry):
-        # tile culling: skip chunks whose faces' y-extent misses this tile
-        return jax.lax.cond(
-            active_ref[0, tile, c] != 0,
-            lambda cy: _chunk_step(c, cy),
-            lambda cy: cy,
-            carry,
-        )
-
-    def _chunk_step(c, carry):
-        best_score, bary, attrs = carry
+        packed_best, best_chunk = carry
         ds = pl.ds(c * FC, FC)
         # exact-f32 barycentrics on the VPU (bary decides visibility and
         # sub-pixel interpolation; bf16 MXU passes cost ~1 cm depth error)
         w = [
-            px * coeff_ref[0, 3 * k : 3 * k + 1, ds]
-            + py * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
+            pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
+            + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
             + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
             for k in range(3)
         ]  # 3 x (Pt,FC)
-        inside = (w[0] >= -1e-6) & (w[1] >= -1e-6) & (w[2] >= -1e-6)
+        inside = jnp.minimum(w[0], jnp.minimum(w[1], w[2])) >= -1e-6
         pix_invz = (
             w[0] * invz_ref[0, 0:1, ds]
             + w[1] * invz_ref[0, 1:2, ds]
             + w[2] * invz_ref[0, 2:3, ds]
         )
         score = jnp.where(inside, pix_invz, -1.0)
-
-        c_best = jnp.max(score, axis=-1, keepdims=True)  # (Pt,1)
-        c_idx = jnp.argmax(score, axis=-1, keepdims=True)  # (Pt,1)
-        improved = c_best > best_score
-
-        iota_f = jax.lax.broadcasted_iota(jnp.int32, (Pt, FC), 1)
-        onehot = ((iota_f == c_idx) & improved).astype(jnp.float32)
-
-        new_bary = [
-            jnp.where(improved, jnp.sum(onehot * w[k], axis=-1, keepdims=True), bary[k])
-            for k in range(3)
-        ]
-        new_attrs = [
-            jnp.where(
-                improved,
-                jnp.dot(onehot, attr_ref[0, k, ds, :],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST),
-                attrs[k],
-            )
-            for k in range(3)
-        ]
-        best_score = jnp.where(improved, c_best, best_score)
-        return best_score, tuple(new_bary), tuple(new_attrs)
+        packed = (
+            jax.lax.bitcast_convert_type(score, jnp.int32) & ~jnp.int32(FC - 1)
+        ) | lane_rev
+        improved = packed > packed_best
+        packed_best = jnp.where(improved, packed, packed_best)
+        best_chunk = jnp.where(improved, jnp.float32(c), best_chunk)
+        return packed_best, best_chunk
 
     init = (
-        jnp.full((Pt, 1), -1.0, jnp.float32),
-        tuple(jnp.zeros((Pt, 1), jnp.float32) for _ in range(3)),
-        tuple(jnp.zeros((Pt, A_DIM), jnp.float32) for _ in range(3)),
+        # bitcast(-1.0) with lane bits: still negative, below any hit
+        jnp.full((Pt, FC), np.float32(-1.0).view(np.int32), jnp.int32),
+        jnp.zeros((Pt, FC), jnp.float32),
     )
-    best_score, bary, attrs = jax.lax.fori_loop(0, n_chunks, body, init)
+    packed_best, best_chunk = jax.lax.fori_loop(c_lo, c_hi, body, init)
 
-    hit = best_score > 0.0  # (Pt,1)
-    pw = [bary[k] * attrs[k][:, 0:1] for k in range(3)]  # (Pt,1) x3
+    # ---- winner extraction: ONE cross-lane reduction per pixel ----
+    packed_top = jnp.max(packed_best, axis=-1, keepdims=True)  # (Pt,1) int32
+    hit = packed_top > 0
+    win_lane = (FC - 1) - (packed_top & jnp.int32(FC - 1))  # (Pt,1)
+    onehot_lane = (lane_iota == win_lane).astype(jnp.float32)
+
+    # ---- pass 2: fetch winner rows from active chunks via MXU one-hot ----
+    def body2(c, row):
+        ds = pl.ds(c * FC, FC)
+        sel = onehot_lane * (best_chunk == jnp.float32(c))  # (Pt,FC)
+        # one bf16 MXU pass: sel is exact 0/1 and the table rows are already
+        # bf16-quantized, so the fetch reproduces them exactly; a 6-pass
+        # HIGHEST fetch costs 6x the cycles
+        return row + jnp.dot(
+            sel,
+            table_ref[0, ds, :],
+            preferred_element_type=jnp.float32,
+        )
+
+    row = jax.lax.fori_loop(c_lo, c_hi, body2, jnp.zeros((Pt, T_DIM), jnp.float32))
+
+    # ---- perspective-correct interpolation from the winner's row ----
+    hitf = hit.astype(jnp.float32)
+    attrs = [row[:, 16 + 16 * k : 32 + 16 * k] for k in range(3)]  # (Pt,16) x3
+    dx = px - row[:, 9:10]  # pixel offset from the face anchor: O(face size),
+    dy = py - row[:, 10:11]  # so the bf16-stored coefficients cost ~0.5% of a px
+    pw = []
+    for k in range(3):
+        w_k = (
+            row[:, 3 * k : 3 * k + 1] * dx
+            + row[:, 3 * k + 1 : 3 * k + 2] * dy
+            + row[:, 3 * k + 2 : 3 * k + 3]
+        )  # (Pt,1) winner barycentric, anchored form
+        pw.append(w_k * attrs[k][:, 0:1])
     s = jnp.maximum(pw[0] + pw[1] + pw[2], 1e-12)
     interp = (pw[0] * attrs[0] + pw[1] * attrs[1] + pw[2] * attrs[2]) / s
-    interp = jnp.where(hit, interp, 0.0)
+    interp = interp * hitf
     # stash the hit mask in padding column 11 (unused by the attribute layout)
     mask_col = jax.lax.broadcasted_iota(jnp.int32, (Pt, A_DIM), 1) == 11
-    interp = jnp.where(mask_col, hit.astype(jnp.float32), interp)
+    interp = jnp.where(mask_col, hitf, interp)
     out_ref[0, :, :] = interp
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "use_light", "interpret", "tile_rows"),
+    static_argnames=("out_hw", "use_light", "interpret", "tile_rows", "backface_cull"),
 )
 def render_crops_pallas(
     mesh_tensors,
@@ -141,11 +180,18 @@ def render_crops_pallas(
     light_dir=(0.0, 0.0, 1.0),
     interpret=False,
     tile_rows=8,
+    backface_cull=False,
 ):
     """Pallas fast path: same contract as ops.raster.render_crops minus the
     tri/bary debug outputs. Vertex-color and textured meshes supported (uv
     interpolated in-kernel, texture sampled outside). Pixel tiles are bands of
-    ``tile_rows`` rows so face chunks can be culled against a tile's y-range."""
+    ``tile_rows`` rows so face chunks can be culled against a tile's y-range;
+    faces are y-sorted per pose so the culling is tight.
+
+    ``backface_cull=True`` additionally drops camera-facing-away triangles —
+    exact for closed, consistently CCW-wound meshes (the visible surface of a
+    closed mesh is always front-facing), wrong for open meshes.
+    """
     H, W = out_hw
     poses = jnp.asarray(poses, jnp.float32)
     K = jnp.asarray(K, jnp.float32)
@@ -175,50 +221,107 @@ def render_crops_pallas(
         uv_crop = uv @ crop_tf[:2, :2].T + crop_tf[:2, 2]
         tri_xy = uv_crop[faces]  # (Fp,3,2)
         tri_z = z[faces]
+        tri_cam = v_cam[faces]  # (Fp,3,3)
         det = _signed_area2(tri_xy)
         coeff = _bary_coeffs(tri_xy, det)  # (Fp,3,3) [row: px,py,1][col: w_k]
         valid = (jnp.abs(det) > 1e-12) & (tri_z > ZNEAR).all(axis=-1)
         if F != Fp:
             valid = valid & (jnp.arange(Fp) < F)
+        if backface_cull:
+            # outward-CCW convention: geometric normal vs. the view ray
+            nf = jnp.cross(
+                tri_cam[:, 1] - tri_cam[:, 0], tri_cam[:, 2] - tri_cam[:, 0]
+            )
+            valid = valid & (jnp.sum(nf * tri_cam.mean(axis=1), axis=-1) < 0.0)
         # invalid faces can never win: constant row -> -1e9
         coeff = jnp.where(valid[:, None, None], coeff, 0.0)
         coeff = coeff.at[:, 2, :].set(
             jnp.where(valid[:, None], coeff[:, 2, :], -1e9)
         )
-        # (9, Fp): rows 3k..3k+2 are (px,py,1) coefficients of bary comp k
-        coeffT = coeff.transpose(2, 1, 0).reshape(9, Fp)
-        invz = (1.0 / jnp.maximum(tri_z, ZNEAR)).T  # (3, Fp)
+        coeff9 = coeff.transpose(0, 2, 1).reshape(Fp, 9)  # [a_k,b_k,c_k] x3
+        invz = 1.0 / jnp.maximum(tri_z, ZNEAR)  # (Fp,3)
+
+        # pass-2 anchored coefficients: evaluate each bary component at the
+        # (bf16-rounded) face centroid so the kernel recomputes the winner's
+        # barycentrics from O(1)-magnitude terms that survive the bf16 fetch
+        anchor = tri_xy.mean(axis=1)  # (Fp,2)
+        anchor = anchor.astype(jnp.bfloat16).astype(jnp.float32)
+        w0 = (
+            coeff[:, 0, :] * anchor[:, 0:1]
+            + coeff[:, 1, :] * anchor[:, 1:2]
+            + coeff[:, 2, :]
+        )  # (Fp,3)
+        anchored9 = jnp.stack(
+            [coeff[:, 0, :], coeff[:, 1, :], w0], axis=1
+        ).transpose(0, 2, 1).reshape(Fp, 9)  # [a_k,b_k,w0_k] x3
 
         n_cam = vnormals @ R.T
         diffuse = jnp.clip(jnp.sum(n_cam * (-light)[None], axis=-1), 0.0, 1.0)
         if has_tex:
+            uv_hi = mesh_tensors["uv"]
+            # bf16 residual (hi/lo split): interpolation is linear, so adding
+            # the interpolated residual back restores full uv precision (bf16
+            # alone costs ~8 texels on a 2K texture)
+            uv_lo = uv_hi - uv_hi.astype(jnp.bfloat16).astype(jnp.float32)
             col_or_uv = jnp.concatenate(
-                [mesh_tensors["uv"], jnp.zeros((verts.shape[0], 1))], axis=-1
+                [uv_hi, jnp.zeros((verts.shape[0], 1))], axis=-1
             )
+            tail = jnp.concatenate(
+                [jnp.zeros((verts.shape[0], 1)), uv_lo,
+                 jnp.zeros((verts.shape[0], A_DIM - 14))], axis=-1
+            )  # col 11 = mask slot, cols 12-13 = uv residual
         else:
             col_or_uv = mesh_tensors["vertex_color"]
+            tail = jnp.zeros((verts.shape[0], A_DIM - 11))
         vert_attr = jnp.concatenate(
             [
                 jnp.zeros((verts.shape[0], 1)),  # invz placeholder (per corner)
-                v_cam,
+                v_cam - t[None],  # centered: bf16 keeps micrometre precision
                 n_cam,
                 col_or_uv,
                 diffuse[:, None],
-                jnp.zeros((verts.shape[0], A_DIM - 11)),  # pad (col 11 = mask)
+                tail,  # pad (col 11 = mask; 12-13 = uv residual if textured)
             ],
             axis=-1,
         )  # (V, A_DIM)
         attr = vert_attr[faces]  # (Fp,3,A_DIM)
-        attr = attr.at[:, :, 0].set(1.0 / jnp.maximum(tri_z, ZNEAR))
-        attr = attr.transpose(1, 0, 2)  # (3, Fp, A_DIM)
+        attr = attr.at[:, :, 0].set(invz)
+        attr48 = attr.reshape(Fp, 3 * A_DIM)
 
         # per-face y-extent for tile culling (invalid faces never overlap)
         y = tri_xy[..., 1]  # (Fp,3)
         ymin = jnp.where(valid, y.min(axis=-1), jnp.inf)
         ymax = jnp.where(valid, y.max(axis=-1), -jnp.inf)
-        return coeffT, invz, attr, ymin, ymax
 
-    coeffT, invz, attr, ymin, ymax = jax.vmap(prep)(poses, crop_tfs)
+        combined = jnp.concatenate(
+            [
+                coeff9,                      # 0-8   pass-1 exact coeffs
+                invz,                        # 9-11  pass-1 exact invz
+                ymin[:, None],               # 12
+                ymax[:, None],               # 13
+                jnp.zeros((Fp, 2)),          # 14-15
+                anchored9,                   # 16-24 pass-2 anchored coeffs
+                anchor,                      # 25-26
+                jnp.zeros((Fp, 5)),          # 27-31
+                attr48,                      # 32-79 pass-2 attrs
+            ],
+            axis=-1,
+        )  # (Fp, 80)
+        # sort faces by ymin (invalid last) so chunk y-extents are tight and
+        # whole chunks of culled faces disappear from the overlap bitmap
+        perm = jnp.argsort(ymin)
+        return jnp.take(combined, perm, axis=0)
+
+    combined = jax.vmap(prep)(poses, crop_tfs)  # (B, Fp, 80)
+    coeffT = combined[:, :, :9].transpose(0, 2, 1)  # (B, 9, Fp)
+    invzT = combined[:, :, 9:12].transpose(0, 2, 1)  # (B, 3, Fp)
+    ymin = combined[:, :, 12]
+    ymax = combined[:, :, 13]
+    # pre-round the fetch table to bf16: the one-pass MXU one-hot fetch then
+    # reproduces the stored values exactly
+    table = (
+        combined[:, :, 16 : 16 + T_DIM].astype(jnp.bfloat16).astype(jnp.float32)
+    )  # (B, Fp, T_DIM): anchored coeffs | anchor | pad | attr48
 
     # ---- pixel grid: row bands of tile_rows rows ----
     P = H * W
@@ -234,21 +337,22 @@ def render_crops_pallas(
     n_tiles = Pp // Pt
 
     # chunk-vs-tile overlap: does any face in the chunk span this row band?
+    # Faces are y-sorted, so the overlapping chunks form (conservatively) a
+    # contiguous run — pass [lo, hi) loop bounds instead of a bitmap
     C = Fp // FC
     cy_min = ymin.reshape(B, C, FC).min(axis=-1)  # (B,C)
     cy_max = ymax.reshape(B, C, FC).max(axis=-1)
     r0 = jnp.arange(n_tiles, dtype=jnp.float32) * tile_rows - 1.0
     r1 = r0 + tile_rows + 2.0
-    active = (
-        (cy_min[:, None, :] <= r1[None, :, None])
-        & (cy_max[:, None, :] >= r0[None, :, None])
-    ).astype(jnp.int32)  # (B, T, C)
-    # pad the chunk axis to the 128-lane tile so the block is aligned
-    Cp = ((C + 127) // 128) * 128
-    if Cp != C:
-        active = jnp.concatenate(
-            [active, jnp.zeros((B, n_tiles, Cp - C), jnp.int32)], axis=-1
-        )
+    active = (cy_min[:, None, :] <= r1[None, :, None]) & (
+        cy_max[:, None, :] >= r0[None, :, None]
+    )  # (B, T, C)
+    any_active = active.any(axis=-1)
+    c_lo = jnp.argmax(active, axis=-1).astype(jnp.int32)
+    c_hi = C - jnp.argmax(active[:, :, ::-1], axis=-1).astype(jnp.int32)
+    c_lo = jnp.where(any_active, c_lo, 0)
+    c_hi = jnp.where(any_active, c_hi, 0)
+    ranges = jnp.stack([c_lo, c_hi], axis=-1)  # (B, T, 2) int32
 
     out = pl.pallas_call(
         _raster_kernel,
@@ -257,10 +361,9 @@ def render_crops_pallas(
             pl.BlockSpec((Pt, 3), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, Fp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Fp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Fp, A_DIM), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            # SMEM: the culling bitmap is read one scalar at a time with a
-            # dynamic chunk index, which VMEM lane addressing cannot do
-            pl.BlockSpec((1, n_tiles, Cp), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Fp, T_DIM), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            # SMEM: per-tile chunk-range scalars feed the dynamic loop bounds
+            pl.BlockSpec((1, n_tiles, 2), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, Pt, A_DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
@@ -276,17 +379,18 @@ def render_crops_pallas(
                 )
             }
         ),
-    )(pix, coeffT, invz, attr, active)
+    )(pix, coeffT, invzT, table, ranges)
 
     out = out[:, :P].reshape(B, H, W, A_DIM)
-    xyz = out[..., 1:4]
-    normal = out[..., 4:7]
     mask = out[..., 11] > 0.5
-    depth = out[..., 3] * mask
+    # un-center: the table stores xyz relative to each pose translation
+    xyz = (out[..., 1:4] + poses[:, None, None, :3, 3]) * mask[..., None]
+    normal = out[..., 4:7]
+    depth = xyz[..., 2] * mask
     if has_tex:
         from foundationpose_tpu.ops.raster import _sample_texture
 
-        uvt = out[..., 7:9].reshape(-1, 2)
+        uvt = (out[..., 7:9] + out[..., 12:14]).reshape(-1, 2)  # hi + residual
         color = _sample_texture(mesh_tensors["tex"], uvt).reshape(B, H, W, 3)
     else:
         color = out[..., 7:10]
@@ -300,7 +404,7 @@ def render_crops_pallas(
     return {
         "rgb": color,
         "depth": depth,
-        "xyz": xyz * mask[..., None],
+        "xyz": xyz,  # already masked above
         "normal": nrm * mask[..., None],
         "mask": mask,
     }

@@ -10,7 +10,11 @@ from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
 K = np.array([[200.0, 0, 32], [0, 200.0, 32], [0, 0, 1]])
 
 
-def _compare(mesh, poses, out_hw=(64, 64), use_light=True, atol=2e-3):
+def _compare(mesh, poses, out_hw=(64, 64), use_light=True, atol=None):
+    # per-channel tolerances: the pallas fetch table is bf16-quantized, which
+    # costs ~0.4% on rgb/normals (below the 1/255 color quantum) but keeps
+    # depth/xyz at sub-mm precision via pose-centered storage
+    atol = atol or {"depth": 2e-3, "xyz": 2e-3, "rgb": 6e-3, "normal": 9e-3}
     mt = raster.make_mesh_tensors(mesh)
     tfs = np.tile(np.eye(3)[None], (len(poses), 1, 1)).astype(np.float32)
     ref = raster.render_crops(
@@ -28,7 +32,8 @@ def _compare(mesh, poses, out_hw=(64, 64), use_light=True, atol=2e-3):
     for k in ("depth", "xyz", "rgb", "normal"):
         a = np.asarray(ref[k])[both]
         b = np.asarray(fast[k])[both]
-        assert np.abs(a - b).max() < atol, f"{k}: max diff {np.abs(a-b).max()}"
+        tol = atol[k] if isinstance(atol, dict) else atol
+        assert np.abs(a - b).max() < tol, f"{k}: max diff {np.abs(a-b).max()}"
 
 
 def test_pallas_matches_xla_cube():
@@ -75,3 +80,25 @@ def test_pallas_empty_when_behind():
     )
     assert not np.asarray(out["mask"]).any()
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_backface_cull_matches_for_closed_mesh():
+    mesh = meshio.make_icosphere_mesh(subdivisions=2, radius=0.05)
+    mesh.vertex_colors = (np.abs(mesh.vertices) / 0.05 * 255).astype(np.uint8)
+    assert meshio.is_watertight(mesh)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.asarray(geo.euler_matrix(0.4, -0.2, 0.7))[:3, :3]
+    pose[2, 3] = 0.5
+    mt = raster.make_mesh_tensors(mesh)
+    tfs = np.eye(3, dtype=np.float32)[None]
+    a = render_crops_pallas(mt, pose[None], K, tfs, out_hw=(64, 64),
+                            interpret=True, backface_cull=False)
+    b = render_crops_pallas(mt, pose[None], K, tfs, out_hw=(64, 64),
+                            interpret=True, backface_cull=True)
+    assert (np.asarray(a["mask"]) == np.asarray(b["mask"])).all()
+    np.testing.assert_allclose(
+        np.asarray(a["depth"]), np.asarray(b["depth"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5
+    )
