@@ -313,20 +313,30 @@ class NeRFRunnerTPU:
         self._train_chunk = train_chunk
         return train_step
 
+    # Max lax.scan length per dispatch. Empirical platform limit: on the
+    # remote-attached TPU (axon PJRT), this donated train scan compiles and
+    # runs at length <= 9 but the worker crashes with a kernel fault at
+    # length >= 10 (bisected; same program, only the trip count differs).
+    # 8 steps per dispatch still amortizes host round-trips ~8x.
+    _SCAN_CHUNK = 8
+
     # ------------------------------------------------------------------
     def train(self, n_step=None, log_every=100):
         n_step = n_step or self.cfg.n_step
         last_loss = 0.0
         done = 0
+        next_log = 0
         while done < n_step:
-            k = min(log_every, n_step - done)
+            k = min(self._SCAN_CHUNK, n_step - done)
             self.params, self.opt_state, self._rng, losses = self._train_chunk(
                 self.params, self.opt_state, self._rng, self.rays, n_steps=k
             )
-            last_loss = float(losses[-1])
-            logging.info("step %d loss=%.4f", self.global_step + k - 1, last_loss)
             self.global_step += k
             done += k
+            if done >= next_log or done >= n_step:
+                last_loss = float(losses[-1])
+                logging.info("step %d loss=%.4f", self.global_step - 1, last_loss)
+                next_log = done + log_every
         return last_loss
 
     # ------------------------------------------------------------------

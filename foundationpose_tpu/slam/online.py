@@ -218,6 +218,31 @@ class ModelFreeTracker:
         logging.info("retrained field on %d keyframes; mesh %d faces",
                      len(self.keyframes), len(self.mesh.faces))
 
+    def run_pose_graph_ba(self, n_landmarks=512, config=None, mesh=None,
+                          rounds=3):
+        """Second-order keyframe refinement: Schur-complement Gauss-Newton
+        pose-graph BA over the keyframe depth maps (slam/ba.py) — the explicit
+        counterpart of the field's gradient-based joint pose optimization.
+        Updates keyframe poses and the live camera pose in place."""
+        from foundationpose_tpu.slam.ba import pose_graph_ba
+
+        if len(self.keyframes) < 2:
+            return 0.0
+        depths = np.stack([k["depth"] for k in self.keyframes])
+        masks = np.stack([k["mask"] for k in self.keyframes])
+        cams = np.stack([k["cam_in_ob"] for k in self.keyframes])
+        refined, cost = pose_graph_ba(
+            depths, masks, cams, self.K, n_landmarks=n_landmarks,
+            config=config, mesh=mesh, rounds=rounds,
+        )
+        for kf, p in zip(self.keyframes, refined):
+            kf["cam_in_ob"] = p
+        # keep the live pose consistent with the refined last keyframe
+        self.cam_in_ob = refined[-1] @ np.linalg.inv(cams[-1]) @ self.cam_in_ob
+        logging.info("pose-graph BA over %d keyframes: cost %.3e",
+                     len(self.keyframes), cost)
+        return cost
+
     def finalize(self, bake=True, tex_res=1024, n_step=None):
         """Final training pass + textured mesh + keyframe poses."""
         from foundationpose_tpu.field.texture import bake_texture
