@@ -41,6 +41,35 @@ def _preprocess_jit(depth, K):
     return d, xyz
 
 
+def _guess_translation_traced(depth, mask, K):
+    """Device-side translation guess (reference estimater.py:137-156): mask
+    bbox center ray x median masked depth. Returns (center (3,), n_valid)."""
+    H, W = depth.shape
+    m = mask > 0
+    us = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    vs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    big = jnp.float32(1e9)
+    u_min = jnp.min(jnp.where(m, us, big))
+    u_max = jnp.max(jnp.where(m, us, -big))
+    v_min = jnp.min(jnp.where(m, vs, big))
+    v_max = jnp.max(jnp.where(m, vs, -big))
+    uc = (u_min + u_max) / 2.0
+    vc = (v_min + v_max) / 2.0
+
+    valid = m & (depth >= 0.001)
+    n_valid = valid.sum()
+    # exact masked median with np.median semantics (mean of the two middle
+    # elements for even counts): sort invalids to +inf, index dynamically
+    flat = jnp.where(valid, depth, jnp.inf).ravel()
+    s = jnp.sort(flat)
+    lo = jnp.maximum((n_valid - 1) // 2, 0)
+    hi = jnp.maximum(n_valid // 2, 0)
+    zc = (s[lo] + s[hi]) / 2.0
+    center = jnp.linalg.inv(K) @ jnp.stack([uc, vc, jnp.float32(1.0)]) * zc
+    ok = (n_valid > 0) & m.any()
+    return jnp.where(ok, center, 0.0), n_valid
+
+
 @dataclasses.dataclass
 class EstimatorConfig:
     min_n_views: int = 40
@@ -74,6 +103,8 @@ class FoundationPoseTPU:
         scorer: PoseScorer | None = None,
     ):
         self.cfg = config or EstimatorConfig()
+        self._register_fused = None
+        self._track_fused = None
         self.reset_object(mesh, symmetry_tfs)
         self.refiner = refiner or PoseRefiner(self.cfg.refiner)
         self.scorer = scorer or PoseScorer(self.cfg.scorer)
@@ -86,6 +117,9 @@ class FoundationPoseTPU:
     def _enable_backface_cull(self):
         self.refiner.cfg = dataclasses.replace(self.refiner.cfg, backface_cull=True)
         self.scorer.cfg = dataclasses.replace(self.scorer.cfg, backface_cull=True)
+        # the fused programs close over refiner/scorer configs at trace time
+        self._register_fused = None
+        self._track_fused = None
 
     # ------------------------------------------------------------------
     def reset_object(self, mesh: meshio.Mesh, symmetry_tfs=None):
@@ -152,59 +186,114 @@ class FoundationPoseTPU:
         )
 
     # ------------------------------------------------------------------
+    # Fused single-dispatch programs. The TPU here is remote-attached: every
+    # dispatch costs a ~29 ms round trip and host<->device bytes move at tens
+    # of MB/s, so the whole register/track pipeline (depth preprocess,
+    # translation guess, refine loop, scoring, ranking) runs as ONE jitted
+    # program with uint8 RGB upload and one packed f32 download.
+    def _make_register_fused(self):
+        refiner, scorer, cfg = self.refiner, self.scorer, self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("iteration", "diameter"))
+        def run(mesh_tensors, rot_grid, K, rgb_u8, depth, mask_u8, iteration,
+                diameter):
+            rgb = rgb_u8.astype(jnp.float32)
+            d = imops.erode_depth(depth, radius=2)
+            d = imops.bilateral_filter_depth(d, radius=2)
+            xyz_map = geo.depth2xyzmap(d, K)
+            center, n_valid = _guess_translation_traced(d, mask_u8, K)
+            hyp = rot_grid.at[:, :3, 3].set(center[None])
+            refined = refiner.traced_refine(
+                mesh_tensors, rgb, xyz_map, K, hyp, diameter, iteration
+            )
+            scores = scorer.traced_score(
+                mesh_tensors, rgb, xyz_map, K, refined, diameter
+            )
+            if cfg.final_refine_iterations > 0:
+                k = min(cfg.final_refine_top_k, rot_grid.shape[0])
+                top_i = jax.lax.top_k(scores, k)[1]
+                top = refined[top_i]
+                top = refiner.traced_refine(
+                    mesh_tensors, rgb, xyz_map, K, top, diameter,
+                    cfg.final_refine_iterations,
+                )
+                top_s = scorer.traced_score(
+                    mesh_tensors, rgb, xyz_map, K, top, diameter
+                )
+                refined = refined.at[top_i].set(top)
+                scores = scores.at[top_i].set(top_s + 100.0)
+            order = jnp.argsort(-scores)
+            refined = refined[order]
+            scores = scores[order]
+            # one packed download: poses | scores | center | n_valid
+            packed = jnp.concatenate([
+                refined.reshape(-1),
+                scores.reshape(-1),
+                center.reshape(-1),
+                jnp.asarray(n_valid, jnp.float32).reshape(1),
+            ])
+            return packed
+
+        return run
+
+    def _make_track_fused(self):
+        refiner = self.refiner
+
+        @functools.partial(jax.jit, static_argnames=("iteration", "diameter"))
+        def run(mesh_tensors, pose_last, K, rgb_u8, depth, iteration, diameter):
+            rgb = rgb_u8.astype(jnp.float32)
+            d = imops.erode_depth(depth, radius=2)
+            d = imops.bilateral_filter_depth(d, radius=2)
+            xyz_map = geo.depth2xyzmap(d, K)
+            refined = refiner.traced_refine(
+                mesh_tensors, rgb, xyz_map, K, pose_last, diameter, iteration
+            )
+            return refined
+
+        return run
+
+    @staticmethod
+    def _as_u8(img):
+        a = np.asarray(img)
+        if a.dtype == np.uint8:
+            return a
+        return np.clip(a, 0, 255).astype(np.uint8)
+
+    # ------------------------------------------------------------------
     def register(self, K, rgb, depth, ob_mask, iteration=None):
         """Global registration. Returns (4,4) pose of the ORIGINAL
         (uncentered) mesh in camera (reference estimater.py:159-240)."""
         iteration = iteration or self.cfg.register_iterations
         K = np.asarray(K, dtype=np.float64)
-        depth_d, xyz_d = self._preprocess(depth, K)
-        depth_p = np.asarray(depth_d)
+        if self._register_fused is None:
+            self._register_fused = self._make_register_fused()
 
-        valid = (depth_p >= 0.001) & (np.asarray(ob_mask) > 0)
-        if valid.sum() < 4:
+        n = len(self.rot_grid)
+        packed = np.asarray(
+            self._register_fused(
+                self.mesh_tensors,
+                jnp.asarray(self.rot_grid, jnp.float32),
+                jnp.asarray(K, jnp.float32),
+                jnp.asarray(self._as_u8(rgb)),
+                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(np.asarray(ob_mask) > 0, jnp.uint8),
+                iteration=int(iteration),
+                diameter=float(self.diameter),
+            )
+        )
+        refined = packed[: n * 16].reshape(n, 4, 4).astype(np.float64)
+        scores = packed[n * 16 : n * 17]
+        center = packed[n * 17 : n * 17 + 3]
+        n_valid = int(packed[-1])
+
+        if n_valid < 4:
             logging.info("valid pixel count < 4; returning translation-only pose")
             pose = np.eye(4)
-            pose[:3, 3] = self.guess_translation(depth_p, ob_mask, K)
+            pose[:3, 3] = center
             return pose
 
-        center = self.guess_translation(depth_p, ob_mask, K)
-        hypotheses = self.rot_grid.copy()
-        hypotheses[:, :3, 3] = center[None]
-
-        xyz_map = xyz_d  # stays on device
-        rgb_f = np.asarray(rgb, dtype=np.float32)
-
-        refined = self.refiner.predict(
-            self.mesh_tensors, rgb_f, xyz_map, K, hypotheses, self.diameter,
-            iteration=iteration,
-        )
-        scores = self.scorer.predict(
-            self.mesh_tensors, rgb_f, xyz_map, K, refined, self.diameter
-        )
-        refined = np.asarray(refined)
-        scores = np.asarray(scores)
-        order = np.argsort(-scores)
-
-        if self.cfg.final_refine_iterations > 0:
-            k = min(self.cfg.final_refine_top_k, len(order))
-            top = refined[order[:k]].astype(np.float32)
-            top = np.asarray(
-                self.refiner.predict(
-                    self.mesh_tensors, rgb_f, xyz_map, K, top, self.diameter,
-                    iteration=self.cfg.final_refine_iterations,
-                )
-            )
-            top_scores = np.asarray(
-                self.scorer.predict(
-                    self.mesh_tensors, rgb_f, xyz_map, K, top, self.diameter
-                )
-            )
-            refined = np.concatenate([top, refined[order[k:]]])
-            scores = np.concatenate([top_scores, scores[order[k:]]])
-            order = np.argsort(-scores)
-
-        self.poses = refined[order]
-        self.scores = scores[order]
+        self.poses = refined
+        self.scores = scores
         self.pose_last = self.poses[0]
         best = self.poses[0] @ self.get_tf_to_centered_mesh()
         return best
@@ -216,15 +305,16 @@ class FoundationPoseTPU:
             raise RuntimeError("call register() before track_one()")
         iteration = iteration or self.cfg.track_iterations
         K = np.asarray(K, dtype=np.float64)
-        _, xyz_map = self._preprocess(depth, K)
-        refined = self.refiner.predict(
+        if self._track_fused is None:
+            self._track_fused = self._make_track_fused()
+        refined = self._track_fused(
             self.mesh_tensors,
-            np.asarray(rgb, dtype=np.float32),
-            xyz_map,
-            K,
-            self.pose_last.reshape(1, 4, 4).astype(np.float32),
-            self.diameter,
-            iteration=iteration,
+            jnp.asarray(self.pose_last.reshape(1, 4, 4), jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(self._as_u8(rgb)),
+            jnp.asarray(depth, jnp.float32),
+            iteration=int(iteration),
+            diameter=float(self.diameter),
         )
-        self.pose_last = np.asarray(refined)[0]
+        self.pose_last = np.asarray(refined)[0].astype(np.float64)
         return self.pose_last @ self.get_tf_to_centered_mesh()

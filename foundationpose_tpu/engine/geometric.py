@@ -105,6 +105,12 @@ class GeometricRefiner:
             int(iteration),
         )
 
+    def traced_refine(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter,
+                      iteration):
+        """Traceable body for fusing into a larger jitted program."""
+        return _icp_refine(self.cfg, mesh_tensors, poses, K, rgb, xyz_map,
+                           mesh_diameter, int(iteration))
+
 
 def _point_to_plane_delta(p, q, n, w, mu=0.2, damping=1e-6):
     """One linearized ICP step: Δ = exp([t, θ]) minimizing
@@ -190,6 +196,11 @@ class GeometricScorer:
 
     def __init__(self, config: GeometricConfig = GeometricConfig()):
         self.cfg = _resolve(config)
+
+    def traced_score(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
+        """Traceable body for fusing into a larger jitted program."""
+        return _geo_score(self.cfg, mesh_tensors, poses, K, rgb, xyz_map,
+                          mesh_diameter)
 
     def predict(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
         return _geo_score(

@@ -85,6 +85,14 @@ class PoseRefiner:
             int(iteration),
         )
 
+    def traced_refine(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter,
+                      iteration):
+        """Traceable body for fusing into a larger jitted program (the
+        estimator's single-dispatch register/track)."""
+        return _refine_iters(self.params, mesh_tensors, poses, K, rgb, xyz_map,
+                             mesh_diameter, int(iteration), net=self.net,
+                             cfg=self.cfg)
+
 
 @functools.partial(jax.jit, static_argnames=("net", "cfg", "iteration"))
 def _refine_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,

@@ -66,6 +66,11 @@ class PoseScorer:
             float(mesh_diameter),
         )
 
+    def traced_score(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
+        """Traceable body for fusing into a larger jitted program."""
+        return _score_jit(self.net, self.cfg, self.params, mesh_tensors, poses,
+                          K, rgb, xyz_map, mesh_diameter)
+
 
 @functools.partial(jax.jit, static_argnames=("net", "cfg"))
 def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
