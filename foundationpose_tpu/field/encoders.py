@@ -79,3 +79,86 @@ def freq_encode(x, num_freqs, include_input=True):
 
 def freq_out_dim(num_freqs, d=3, include_input=True):
     return d * (2 * num_freqs + (1 if include_input else 0))
+
+
+# ---------------------------------------------------------------------------
+# MXU-native positional encoder (no gather/scatter anywhere)
+# ---------------------------------------------------------------------------
+#
+# The reference's instant-ngp hash grid (bundlesdf/mycuda/torch_ngp_grid_
+# encoder) is a GPU-shaped structure: its forward is 8 random gathers per
+# point per level and its backward is an atomic scatter-add. On TPU both are
+# serial-memory operations (~10-100 ns per element through XLA) and dominate
+# the field training step by 100x. The TPU-native replacement trades memory
+# irregularity for MXU FLOPs: multi-resolution TRIPLANES (TensoRF-style)
+# queried with chained interpolation-weight matmuls —
+#
+#     out[n,c] = sum_ij  Wx[n,i] * Wy[n,j] * plane[i,j,c]
+#              = einsum("nj,njc->nc", Wy, einsum("ni,ijc->njc", Wx, plane))
+#
+# where Wx/Wy are the 2-tap linear-interpolation weight rows. Every op is a
+# dense matmul, so the BACKWARD is also matmuls (the plane gradient is
+# Wx^T @ (Wy * g) — the scatter-add becomes an MXU contraction for free via
+# autodiff). A small dense 3D level (one-hot over the flattened finest axis
+# pair) would work the same way; triplanes give finer resolution for the
+# same FLOPs.
+
+import flax.linen as nn
+
+
+def _axis_taps(x01, R):
+    """x01 in [0,1] -> (N, R+1) linear-interpolation weight rows (2 taps)."""
+    g = jnp.clip(x01, 0.0, 1.0) * R
+    i0 = jnp.floor(jnp.minimum(g, R - 1e-6))
+    f = g - i0
+    grid = jnp.arange(R + 1, dtype=jnp.float32)
+    d = grid[None, :] - i0[:, None]  # (N, R+1)
+    return jnp.where(d == 0.0, 1.0 - f[:, None], 0.0) + jnp.where(
+        d == 1.0, f[:, None], 0.0
+    )
+
+
+class TriplaneEncoder(nn.Module):
+    """Multi-resolution triplane features via interpolation-weight matmuls.
+
+    Query cost per level is N*(R+1)^2*C MACs per plane — pure MXU work, ~1 ms
+    for 200k points at R=128 — and the gradient to the planes is the
+    transposed matmul (no scatter). Output: concat over levels of the
+    3-plane SUM (TensoRF decomposition), (N, len(resolutions)*channels).
+    """
+
+    resolutions: tuple = (16, 32, 64, 128)
+    channels: int = 2
+    init_scale: float = 1e-2
+
+    @nn.compact
+    def __call__(self, pts):
+        """pts: (N,3) in [-1,1] -> (N, L*C)."""
+        x01 = (pts + 1.0) * 0.5
+        outs = []
+        for li, R in enumerate(self.resolutions):
+            planes = self.param(
+                f"planes_{R}",
+                nn.initializers.normal(self.init_scale),
+                (3, R + 1, R + 1, self.channels),
+            )
+            Wx = _axis_taps(x01[:, 0], R)  # (N,R+1)
+            Wy = _axis_taps(x01[:, 1], R)
+            Wz = _axis_taps(x01[:, 2], R)
+            level = 0.0
+            for (Wa, Wb, p) in ((Wx, Wy, planes[0]),
+                                (Wx, Wz, planes[1]),
+                                (Wy, Wz, planes[2])):
+                # explicit 2D matmul + broadcast-reduce: XLA lowers the
+                # equivalent "ni,ijc->njc" einsum ~50x slower on TPU
+                t = jnp.dot(
+                    Wa, p.reshape(R + 1, (R + 1) * self.channels),
+                    preferred_element_type=jnp.float32,
+                ).reshape(-1, R + 1, self.channels)
+                level = level + (t * Wb[:, :, None]).sum(axis=1)
+            outs.append(level)
+        return jnp.concatenate(outs, axis=-1)
+
+
+def triplane_out_dim(resolutions, channels):
+    return len(resolutions) * channels

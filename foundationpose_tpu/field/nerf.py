@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from foundationpose_tpu.core import geometry as geo
-from foundationpose_tpu.field.encoders import sh_encode, sh_out_dim
+from foundationpose_tpu.field.encoders import (
+    TriplaneEncoder,
+    freq_encode,
+    sh_encode,
+    sh_out_dim,
+)
 from foundationpose_tpu.ops.hashgrid import HashGridEncoder
 
 
@@ -74,7 +79,13 @@ class NeRFSmall(nn.Module):
 
 
 class ObjectField(nn.Module):
-    """Hash grid + NeRFSmall + per-frame pose/feature arrays."""
+    """Positional encoder + NeRFSmall + per-frame pose/feature arrays.
+
+    ``encoder="hash"`` is the reference-parity instant-ngp hash grid (XLA
+    gathers — slow on TPU); ``encoder="triplane"`` is the TPU-native
+    matmul-only multiresolution triplane (see encoders.TriplaneEncoder) with
+    a frequency-encoding tail for sub-plane detail.
+    """
 
     num_frames: int
     frame_features: int = 2
@@ -87,15 +98,25 @@ class ObjectField(nn.Module):
     desired_resolution: int = 512
     log2_hashmap_size: int = 22
     optimize_poses: bool = True
+    encoder: str = "hash"
+    triplane_resolutions: tuple = (16, 32, 64, 128)
+    triplane_channels: int = 4
+    triplane_freqs: int = 4
 
     def setup(self):
-        self.grid = HashGridEncoder(
-            num_levels=self.num_levels,
-            level_dim=self.level_dim,
-            base_resolution=self.base_resolution,
-            desired_resolution=self.desired_resolution,
-            log2_hashmap_size=self.log2_hashmap_size,
-        )
+        if self.encoder == "triplane":
+            self.grid = TriplaneEncoder(
+                resolutions=self.triplane_resolutions,
+                channels=self.triplane_channels,
+            )
+        else:
+            self.grid = HashGridEncoder(
+                num_levels=self.num_levels,
+                level_dim=self.level_dim,
+                base_resolution=self.base_resolution,
+                desired_resolution=self.desired_resolution,
+                log2_hashmap_size=self.log2_hashmap_size,
+            )
         self.mlp = NeRFSmall()
         if self.frame_features > 0:
             self.feature_array = self.param(
@@ -120,12 +141,20 @@ class ObjectField(nn.Module):
         Ts = Ts.at[0].set(jnp.eye(4))
         return Ts[frame_ids]
 
+    def _pos_embed(self, flat):
+        emb = self.grid(jnp.clip(flat, -1.0, 1.0))
+        if self.encoder == "triplane" and self.triplane_freqs > 0:
+            emb = jnp.concatenate(
+                [emb, freq_encode(flat, self.triplane_freqs)], axis=-1
+            )
+        return emb
+
     def query(self, pts_w, viewdirs_w, frame_ids):
         """pts_w: (N,S,3) world(normalized) points; viewdirs_w: (N,3) unit;
         frame_ids: (N,) int. Returns raw (N,S,4) [rgb logits, sdf]."""
         N, S = pts_w.shape[:2]
         flat = pts_w.reshape(-1, 3)
-        pos_embed = self.grid(jnp.clip(flat, -1.0, 1.0))
+        pos_embed = self._pos_embed(flat)
         view = sh_encode(viewdirs_w, self.sh_degree)  # (N, sh)
         view = jnp.repeat(view[:, None], S, axis=1).reshape(N * S, -1)
         if self.frame_features > 0:
@@ -140,8 +169,7 @@ class ObjectField(nn.Module):
     def sdf(self, pts):
         """(N,3) normalized points -> (N,) SDF (mesh extraction path,
         reference run_network_density nerf_runner.py:1020-1060)."""
-        pos_embed = self.grid(jnp.clip(pts, -1.0, 1.0))
-        return self.mlp.sdf_only(pos_embed)
+        return self.mlp.sdf_only(self._pos_embed(pts))
 
     def __call__(self, pts_w, viewdirs_w, frame_ids):
         return self.query(pts_w, viewdirs_w, frame_ids)

@@ -70,6 +70,14 @@ class FieldConfig:
     base_res: int = 32
     finest_res: int = 512
     feature_grid_dim: int = 2
+    # positional encoder: "triplane" = TPU-native matmul-only encoder (see
+    # field/encoders.py — ~100x faster per step than the hash grid on TPU,
+    # whose gather/scatter XLA lowering serializes); "hash" = reference-
+    # parity instant-ngp grid
+    encoder: str = "triplane"
+    triplane_resolutions: tuple = (16, 32, 64, 128)
+    triplane_channels: int = 4
+    triplane_freqs: int = 4
     sh_degree: int = 3  # multires_views
     occ_resolution: int = 64
     occ_dilate: int = 2
@@ -122,6 +130,10 @@ class NeRFRunnerTPU:
             desired_resolution=cfg.finest_res,
             log2_hashmap_size=cfg.log2_hashmap_size,
             optimize_poses=cfg.optimize_poses,
+            encoder=cfg.encoder,
+            triplane_resolutions=tuple(cfg.triplane_resolutions),
+            triplane_channels=cfg.triplane_channels,
+            triplane_freqs=cfg.triplane_freqs,
         )
         key = jax.random.PRNGKey(cfg.seed)
         self.params = self.field.init(
@@ -287,56 +299,44 @@ class NeRFRunnerTPU:
 
         n_rand = cfg.n_rand
 
-        # multi-step chunk: the whole inner loop (ray sampling + field fwd/bwd
-        # + Adam) runs on-device under one lax.scan dispatch with donated
-        # state — per-step host round-trips would dominate on a
-        # remote-attached chip
-        @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
-        def train_chunk(params, opt_state, key, rays, n_steps):
-            def body(carry, _):
-                params, opt_state, key = carry
-                key, k_ids, k_step = jax.random.split(key, 3)
-                ids = jax.random.randint(k_ids, (n_rand,), 0, rays.shape[0])
-                batch = rays[ids]
-                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, batch, k_step
-                )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), loss
-
-            (params, opt_state, key), losses = jax.lax.scan(
-                body, (params, opt_state, key), None, length=n_steps
+        # one fused dispatch per step INCLUDING the ray-batch sampling, with
+        # donated (params, opt_state). Steps are issued asynchronously and
+        # only synced at log points, so the remote-TPU round trip (~29 ms)
+        # overlaps across steps. (A multi-step lax.scan chunk was tried and
+        # is pathological on this platform: ~18x slower per step, and the
+        # donated scan crashes the TPU worker outright at length >= 10.)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step_sampled(params, opt_state, key, rays):
+            key, k_ids, k_step = jax.random.split(key, 3)
+            ids = jax.random.randint(k_ids, (n_rand,), 0, rays.shape[0])
+            batch = rays[ids]
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, k_step
             )
-            return params, opt_state, key, losses
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, key, loss
 
-        self._train_chunk = train_chunk
+        self._train_step_sampled = train_step_sampled
         return train_step
-
-    # Max lax.scan length per dispatch. Empirical platform limit: on the
-    # remote-attached TPU (axon PJRT), this donated train scan compiles and
-    # runs at length <= 9 but the worker crashes with a kernel fault at
-    # length >= 10 (bisected; same program, only the trip count differs).
-    # 8 steps per dispatch still amortizes host round-trips ~8x.
-    _SCAN_CHUNK = 8
 
     # ------------------------------------------------------------------
     def train(self, n_step=None, log_every=100):
         n_step = n_step or self.cfg.n_step
         last_loss = 0.0
-        done = 0
-        next_log = 0
-        while done < n_step:
-            k = min(self._SCAN_CHUNK, n_step - done)
-            self.params, self.opt_state, self._rng, losses = self._train_chunk(
-                self.params, self.opt_state, self._rng, self.rays, n_steps=k
+        loss = None
+        for it in range(n_step):
+            self.params, self.opt_state, self._rng, loss = (
+                self._train_step_sampled(
+                    self.params, self.opt_state, self._rng, self.rays
+                )
             )
-            self.global_step += k
-            done += k
-            if done >= next_log or done >= n_step:
-                last_loss = float(losses[-1])
+            self.global_step += 1
+            if it % log_every == 0:
+                last_loss = float(loss)  # sync point
                 logging.info("step %d loss=%.4f", self.global_step - 1, last_loss)
-                next_log = done + log_every
+        if loss is not None:
+            last_loss = float(loss)
         return last_loss
 
     # ------------------------------------------------------------------

@@ -153,6 +153,7 @@ def test_field_reconstruction_sphere():
     cfg = FieldConfig(
         n_step=150, n_rand=1024, n_samples=24, n_samples_around_depth=24,
         num_levels=4, log2_hashmap_size=14, base_res=8, finest_res=48,
+        triplane_resolutions=(8, 16, 32), triplane_channels=2,
         trunc=0.02, occ_resolution=32, mask_dilate_first=8, mask_dilate=6,
         mesh_resolution=0.04,
     )
