@@ -361,7 +361,7 @@ def bundle_adjust(
             in_specs=(P(), P("batch"), P("batch"), P("batch"), P("batch"),
                       n_spec, P(), P(), P()),
             out_specs=(P(), P("batch"), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         poses, X, costs = _lm_loop(step, poses, X, obs_kf, obs_pt, obs_w,
                                    obs_n, fixed_mask, poses_init, cfg)

@@ -72,6 +72,9 @@ def from_dict(cls: Type[T], data: dict, key_map: dict | None = None) -> T:
         f = fields[k]
         if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
             kwargs[k] = from_dict(f.type, v)
+        elif isinstance(v, list) and isinstance(f.default, tuple):
+            # YAML has no tuple type; restore tuple-typed fields on load
+            kwargs[k] = tuple(v)
         else:
             kwargs[k] = v
     return cls(**kwargs)
