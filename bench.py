@@ -67,13 +67,39 @@ def main():
     register_s = (time.perf_counter() - t0) / n_rep
     hyp_per_s = n_hyp / register_s
 
-    # tracking fps (single-hypothesis refine, 2 iterations)
+    # tracking: sync latency + streaming throughput (single-hypothesis
+    # refine, 2 iterations). Streaming keeps the pose chain device-resident
+    # and pipelines dispatches (sync=False), hiding the remote-TPU round
+    # trip; the host pre-crop uploads a 224x224 window instead of the full
+    # 640x480 frame.
     est.track_one(rgb, depth, K)  # warmup/compile
     n_track = 20
     t0 = time.perf_counter()
     for _ in range(n_track):
         est.track_one(rgb, depth, K)
+    track_latency_ms = (time.perf_counter() - t0) / n_track * 1e3
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(n_track):
+        out = est.track_one(rgb, depth, K, sync=False)
+    np.asarray(out)
     track_fps = n_track / (time.perf_counter() - t0)
+
+    # funnel register (coarse pass on all hypotheses, fine pass on top-64):
+    # the TPU-optimized schedule, reported alongside the parity schedule
+    import dataclasses as _dc
+
+    est_f = FoundationPoseTPU(
+        mesh,
+        config=_dc.replace(
+            EstimatorConfig(register_iterations=5), funnel_top_k=64
+        ),
+    )
+    est_f.register(K, rgb, depth, mask)  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        est_f.register(K, rgb, depth, mask)
+    register_funnel_s = (time.perf_counter() - t0) / n_rep
 
     # neural-field training throughput (rays/s at the reference's 2048-ray,
     # 256-samples-per-ray budget)
@@ -88,7 +114,10 @@ def main():
                 "unit": "hyp/s",
                 "vs_baseline": round(hyp_per_s / baseline_hyp_per_s, 3),
                 "register_s": round(register_s, 4),
+                "register_funnel_s": round(register_funnel_s, 4),
+                "funnel_hyp_per_s": round(n_hyp / register_funnel_s, 2),
                 "track_fps": round(track_fps, 2),
+                "track_latency_ms": round(track_latency_ms, 2),
                 "field_rays_per_s": round(field_rays_per_s, 0),
                 "n_hypotheses": int(n_hyp),
                 "compile_s": round(compile_s, 1),

@@ -77,11 +77,25 @@ class EstimatorConfig:
     cluster_angle_deg: float = 30.0
     register_iterations: int = 5
     track_iterations: int = 2
+    # streaming-tracking host pre-crop: upload only a fixed SxS window around
+    # the last pose instead of the full frame (a 640x480 rgb+depth frame is
+    # ~2 MB; over a remote-attached TPU link the upload dominates the track
+    # loop). 0 disables (always upload the full frame).
+    track_crop_size: int = 224
+    track_crop_margin: float = 1.4
     max_render_faces: int = 4096  # static triangle-axis bound for the raster
     # optional hierarchical polish: re-refine the top-K scored hypotheses for
     # extra iterations, then re-score (off by default for reference parity)
     final_refine_iterations: int = 0
     final_refine_top_k: int = 8
+    # funnel schedule: refine ALL hypotheses for ``funnel_coarse_iterations``,
+    # score, then run the remaining iterations only on the top
+    # ``funnel_top_k`` (the scorer's tournament semantics,
+    # predict_score.py:206-213, applied early). Cuts render work ~1.8x at
+    # equal accuracy; funnel_top_k=0 disables (reference schedule: every
+    # hypothesis gets every iteration).
+    funnel_top_k: int = 0
+    funnel_coarse_iterations: int = 1
     refiner: RefinerConfig = dataclasses.field(default_factory=RefinerConfig)
     scorer: ScorerConfig = dataclasses.field(default_factory=ScorerConfig)
 
@@ -101,8 +115,17 @@ class FoundationPoseTPU:
         config: EstimatorConfig | None = None,
         refiner: PoseRefiner | None = None,
         scorer: PoseScorer | None = None,
+        device_mesh=None,
     ):
+        """``device_mesh``: optional ``jax.sharding.Mesh`` (first axis used).
+        The hypothesis axis — the reference's chunked-CUDA-launch axis
+        (predict_pose_refine.py:38,167) and our primary pod-slice scaling
+        axis — is sharded over it: the rotation grid is padded to a multiple
+        of the axis size and each device renders/refines/scores its own
+        hypothesis shard; XLA inserts the cross-pose all-gather the scorer's
+        hypothesis attention and the final ranking need."""
         self.cfg = config or EstimatorConfig()
+        self.device_mesh = device_mesh
         self._register_fused = None
         self._track_fused = None
         self.reset_object(mesh, symmetry_tfs)
@@ -110,9 +133,27 @@ class FoundationPoseTPU:
         self.scorer = scorer or PoseScorer(self.cfg.scorer)
         if self.watertight:
             self._enable_backface_cull()
-        self.pose_last = None
+        self._pose_last_np = None
+        self._pose_last_dev = None  # device-resident (1,4,4) tracking chain
+        self._pose_hint = None  # host copy for placing the upload window
+        self._packed_pending = None  # in-flight (2,4,4) pose download
         self.scores = None
         self.poses = None
+
+    @property
+    def pose_last(self):
+        """Last centered-mesh pose (4,4) np. When tracking asynchronously the
+        chain lives on device; reading this syncs it to host."""
+        if self._pose_last_dev is not None and self._pose_last_np is None:
+            self._pose_last_np = np.asarray(self._pose_last_dev)[0].astype(np.float64)
+        return self._pose_last_np
+
+    @pose_last.setter
+    def pose_last(self, value):
+        self._pose_last_np = None if value is None else np.asarray(value, np.float64)
+        self._pose_last_dev = None
+        self._pose_hint = self._pose_last_np
+        self._packed_pending = None
 
     def _enable_backface_cull(self):
         self.refiner.cfg = dataclasses.replace(self.refiner.cfg, backface_cull=True)
@@ -203,12 +244,38 @@ class FoundationPoseTPU:
             xyz_map = geo.depth2xyzmap(d, K)
             center, n_valid = _guess_translation_traced(d, mask_u8, K)
             hyp = rot_grid.at[:, :3, 3].set(center[None])
-            refined = refiner.traced_refine(
-                mesh_tensors, rgb, xyz_map, K, hyp, diameter, iteration
-            )
-            scores = scorer.traced_score(
-                mesh_tensors, rgb, xyz_map, K, refined, diameter
-            )
+            n_hyp = rot_grid.shape[0]
+            n_coarse = min(cfg.funnel_coarse_iterations, iteration - 1)
+            if 0 < cfg.funnel_top_k < n_hyp and iteration > n_coarse > 0:
+                # coarse pass: a few refine iterations + score over ALL
+                # hypotheses
+                refined = refiner.traced_refine(
+                    mesh_tensors, rgb, xyz_map, K, hyp, diameter, n_coarse
+                )
+                scores = scorer.traced_score(
+                    mesh_tensors, rgb, xyz_map, K, refined, diameter
+                )
+                # fine pass: remaining iterations on the top-K only; rescore
+                # them and lift above the coarse field (the reference's +100
+                # tournament-winner offset, predict_score.py:209)
+                k = cfg.funnel_top_k
+                top_i = jax.lax.top_k(scores, k)[1]
+                top = refiner.traced_refine(
+                    mesh_tensors, rgb, xyz_map, K, refined[top_i], diameter,
+                    iteration - n_coarse,
+                )
+                top_s = scorer.traced_score(
+                    mesh_tensors, rgb, xyz_map, K, top, diameter
+                )
+                refined = refined.at[top_i].set(top)
+                scores = scores.at[top_i].set(top_s + 100.0)
+            else:
+                refined = refiner.traced_refine(
+                    mesh_tensors, rgb, xyz_map, K, hyp, diameter, iteration
+                )
+                scores = scorer.traced_score(
+                    mesh_tensors, rgb, xyz_map, K, refined, diameter
+                )
             if cfg.final_refine_iterations > 0:
                 k = min(cfg.final_refine_top_k, rot_grid.shape[0])
                 top_i = jax.lax.top_k(scores, k)[1]
@@ -240,7 +307,8 @@ class FoundationPoseTPU:
         refiner = self.refiner
 
         @functools.partial(jax.jit, static_argnames=("iteration", "diameter"))
-        def run(mesh_tensors, pose_last, K, rgb_u8, depth, iteration, diameter):
+        def run(mesh_tensors, pose_last, K, rgb_u8, depth, tf_centered,
+                iteration, diameter):
             rgb = rgb_u8.astype(jnp.float32)
             d = imops.erode_depth(depth, radius=2)
             d = imops.bilateral_filter_depth(d, radius=2)
@@ -248,9 +316,36 @@ class FoundationPoseTPU:
             refined = refiner.traced_refine(
                 mesh_tensors, rgb, xyz_map, K, pose_last, diameter, iteration
             )
-            return refined
+            # refined: the device-resident chain (never transferred in
+            # streaming mode); packed: (2,4,4) [chain pose, user pose in the
+            # ORIGINAL mesh frame] — ONE download buffer (separate downloads
+            # cost a round trip each on a remote-attached TPU)
+            out = refined[0] @ tf_centered
+            return refined, jnp.stack([refined[0], out]), out
 
         return run
+
+    def _sharded_grid_and_put(self):
+        """(rotation grid, replicate-fn) for the fused register call. With a
+        device mesh, pad the grid (repeating hypothesis 0 — duplicates refine
+        to identical poses and never beat the true argmax) to a multiple of
+        the mesh axis and shard it; everything else is replicated so the
+        single jitted program runs SPMD over the hypothesis axis."""
+        grid = jnp.asarray(self.rot_grid, jnp.float32)
+        if self.device_mesh is None:
+            return grid, lambda x: x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.device_mesh
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        pad = (-grid.shape[0]) % n_dev
+        if pad:
+            grid = jnp.concatenate([grid, jnp.tile(grid[:1], (pad, 1, 1))])
+        grid = jax.device_put(grid, NamedSharding(mesh, P(axis)))
+        repl = NamedSharding(mesh, P())
+        put = lambda tree: jax.tree.map(lambda x: jax.device_put(x, repl), tree)
+        return grid, put
 
     @staticmethod
     def _as_u8(img):
@@ -268,15 +363,16 @@ class FoundationPoseTPU:
         if self._register_fused is None:
             self._register_fused = self._make_register_fused()
 
-        n = len(self.rot_grid)
+        grid, put = self._sharded_grid_and_put()
+        n = grid.shape[0]
         packed = np.asarray(
             self._register_fused(
-                self.mesh_tensors,
-                jnp.asarray(self.rot_grid, jnp.float32),
-                jnp.asarray(K, jnp.float32),
-                jnp.asarray(self._as_u8(rgb)),
-                jnp.asarray(depth, jnp.float32),
-                jnp.asarray(np.asarray(ob_mask) > 0, jnp.uint8),
+                put(self.mesh_tensors),
+                grid,
+                put(jnp.asarray(K, jnp.float32)),
+                put(jnp.asarray(self._as_u8(rgb))),
+                put(jnp.asarray(depth, jnp.float32)),
+                put(jnp.asarray(np.asarray(ob_mask) > 0, jnp.uint8)),
                 iteration=int(iteration),
                 diameter=float(self.diameter),
             )
@@ -292,29 +388,107 @@ class FoundationPoseTPU:
             pose[:3, 3] = center
             return pose
 
-        self.poses = refined
-        self.scores = scores
+        n_orig = len(self.rot_grid)  # drop sharding pad (sorted, so tail-only)
+        self.poses = refined[:n_orig]
+        self.scores = scores[:n_orig]
         self.pose_last = self.poses[0]
         best = self.poses[0] @ self.get_tf_to_centered_mesh()
         return best
 
     # ------------------------------------------------------------------
-    def track_one(self, rgb, depth, K, iteration=None):
-        """Refine-only tracking from the last pose (estimater.py:250-268)."""
-        if self.pose_last is None:
+    def _pretrack_crop(self, rgb_u8, depth, K):
+        """Host-side fixed-size crop around the last tracked pose: upload
+        S*S instead of the full frame. Returns (rgb, depth, K') with the
+        principal point shifted (camera-frame geometry is unchanged by an
+        image crop). Falls back to the full frame when the object would not
+        fit at the configured window size."""
+        S = self.cfg.track_crop_size
+        H, W = depth.shape
+        if not S or (H <= S and W <= S):
+            return rgb_u8, depth, K
+        pose = self._crop_pose_hint()
+        t = pose[:3, 3]
+        z = max(float(t[2]), 1e-3)
+        f = max(K[0, 0], K[1, 1])
+        r = self.diameter * self.cfg.refiner.crop_ratio / 2.0
+        side = 2.0 * r * f / z * self.cfg.track_crop_margin
+        if side > S:
+            return rgb_u8, depth, K  # object too big for the window
+        u = K[0, 0] * t[0] / z + K[0, 2]
+        v = K[1, 1] * t[1] / z + K[1, 2]
+        u0 = int(np.clip(round(u - S / 2), 0, max(W - S, 0)))
+        v0 = int(np.clip(round(v - S / 2), 0, max(H - S, 0)))
+        rgb_c = np.ascontiguousarray(rgb_u8[v0 : v0 + S, u0 : u0 + S])
+        depth_c = np.ascontiguousarray(depth[v0 : v0 + S, u0 : u0 + S])
+        K2 = K.copy()
+        K2[0, 2] -= u0
+        K2[1, 2] -= v0
+        return rgb_c, depth_c, K2
+
+    def _crop_pose_hint(self):
+        """Freshest pose available on the HOST without blocking the stream:
+        the last synced pose, refreshed from the in-flight download when it
+        has landed. Used only to PLACE the upload window — staleness of a
+        frame or two is covered by ``track_crop_margin``; the pose chain
+        itself always uses the exact device-resident pose."""
+        pending = getattr(self, "_packed_pending", None)
+        if pending is not None:
+            try:
+                ready = pending.is_ready()
+            except AttributeError:
+                ready = True
+            if ready:
+                self._pose_hint = np.asarray(pending)[0].astype(np.float64)
+                self._packed_pending = None
+        if getattr(self, "_pose_hint", None) is None:
+            self._pose_hint = self.pose_last  # blocks (first call only)
+        return self._pose_hint
+
+    def track_one(self, rgb, depth, K, iteration=None, sync=True):
+        """Refine-only tracking from the last pose (estimater.py:250-268).
+
+        ``sync=False`` streams: the pose chain stays device-resident, the
+        dispatch is enqueued asynchronously, and a (4,4) jax array of the
+        ORIGINAL-mesh-frame pose is returned (``np.asarray`` it — or read
+        ``.pose_last`` — to block). Back-to-back sync=False calls overlap
+        frame upload/compute with the host loop, hiding the dispatch round
+        trip of a remote-attached TPU."""
+        if self._pose_last_dev is None and self._pose_last_np is None:
             raise RuntimeError("call register() before track_one()")
         iteration = iteration or self.cfg.track_iterations
         K = np.asarray(K, dtype=np.float64)
         if self._track_fused is None:
             self._track_fused = self._make_track_fused()
-        refined = self._track_fused(
+        rgb_u8 = self._as_u8(rgb)
+        depth = np.asarray(depth, np.float32)
+        rgb_u8, depth, K = self._pretrack_crop(rgb_u8, depth, K)
+        pose_dev = self._pose_last_dev
+        if pose_dev is None:
+            pose_dev = jnp.asarray(
+                self._pose_last_np.reshape(1, 4, 4), jnp.float32
+            )
+        refined, packed, out = self._track_fused(
             self.mesh_tensors,
-            jnp.asarray(self.pose_last.reshape(1, 4, 4), jnp.float32),
+            pose_dev,
             jnp.asarray(K, jnp.float32),
-            jnp.asarray(self._as_u8(rgb)),
-            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(rgb_u8),
+            jnp.asarray(depth),
+            jnp.asarray(self.get_tf_to_centered_mesh(), jnp.float32),
             iteration=int(iteration),
             diameter=float(self.diameter),
         )
-        self.pose_last = np.asarray(refined)[0].astype(np.float64)
-        return self.pose_last @ self.get_tf_to_centered_mesh()
+        self._pose_last_dev = refined
+        self._pose_last_np = None
+        if not sync:
+            # start the (2,4,4) download in the background; the crop hint and
+            # any later pose_last read pick it up without stalling the stream
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._packed_pending = packed
+            return out
+        arr = np.asarray(packed).astype(np.float64)
+        self._pose_last_np = arr[0]
+        self._pose_hint = arr[0]
+        return arr[1]

@@ -60,6 +60,10 @@ class FieldConfig:
     trunc_weight: float = 6000.0
     feature_reg_weight: float = 0.1
     pose_reg_weight: float = 0.0
+    # optional regularizers, 0 by default like the reference
+    # (config_ycbv.yml:75,84; nerf_runner.py:559-568)
+    fs_rgb_weight: float = 0.0
+    eikonal_weight: float = 0.0
     first_frame_weight: float = 1.0
     frame_features: int = 2
     optimize_poses: bool = True
@@ -263,7 +267,7 @@ class NeRFRunnerTPU:
                 (rgb_map - target_rgb) ** 2 * ray_w[:, None]
             )
 
-            fs, sdf_l, empty, _, _ = losses_mod.sdf_losses(
+            fs, sdf_l, empty, front_m, _ = losses_mod.sdf_losses(
                 z_vals, target_d, sdf, trunc, sample_w, near_n, far_n,
                 cfg.neg_trunc_ratio, cfg.fs_sdf,
             )
@@ -273,6 +277,27 @@ class NeRFRunnerTPU:
                 + cfg.trunc_weight * sdf_l
                 + cfg.empty_weight * empty
             )
+            if cfg.fs_rgb_weight > 0:
+                # free-space color pushed to white (nerf_runner.py:559-562)
+                loss = loss + cfg.fs_rgb_weight * jnp.mean(
+                    ((jax.nn.sigmoid(raw[..., :3]) - 1.0) * front_m[..., None])
+                    ** 2
+                    * sample_w[..., None]
+                )
+            if cfg.eikonal_weight > 0:
+                # |grad sdf| -> 1 near the surface (nerf_runner.py:564-568);
+                # per-point autodiff gradient (sdf at a point depends only on
+                # that point, so grad-of-sum gives the per-sample gradient)
+                g = jax.grad(
+                    lambda p: field.apply(params, p, method=ObjectField.sdf)
+                    .sum()
+                )(pts.reshape(-1, 3)).reshape(pts.shape)
+                near_surf = (sdf < 1.0) & valid
+                gnorm = jnp.linalg.norm(g, axis=-1)
+                loss = loss + cfg.eikonal_weight * (
+                    jnp.sum((gnorm - 1.0) ** 2 * near_surf)
+                    / jnp.maximum(near_surf.sum(), 1)
+                )
             if cfg.frame_features > 0:
                 loss = loss + cfg.feature_reg_weight * jnp.mean(
                     params["params"]["feature_array"] ** 2

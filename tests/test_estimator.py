@@ -129,3 +129,116 @@ def test_scorer_prefers_true_pose(estimator):
         )
     )
     assert scores[0] > scores[1]
+
+
+def test_funnel_register_matches_full(estimator):
+    """Funnel schedule (1 iter on all hypotheses -> remaining iters on top-K)
+    must recover the same pose as the reference schedule."""
+    import dataclasses
+
+    mesh = estimator.mesh_ori
+    gt = np.eye(4)
+    gt[:3, :3] = np.asarray(geo.euler_matrix(0.3, -0.2, 0.5))[:3, :3]
+    gt[:3, 3] = [0.01, -0.02, 0.55]
+    rgb, depth, mask = render_scene(mesh, gt)
+
+    gcfg = GeometricConfig(input_size=64)
+    cfg = dataclasses.replace(estimator.cfg, funnel_top_k=16, funnel_coarse_iterations=3)
+    est_f = FoundationPoseTPU(
+        mesh, config=cfg,
+        refiner=GeometricRefiner(gcfg), scorer=GeometricScorer(gcfg),
+    )
+    pose_f = est_f.register(K, rgb, depth, mask)
+    err_f = float(metrics.adds_err(pose_f, gt, mesh.vertices))
+    # the geometric scorer tie-breaks between near-converged hypotheses a
+    # little differently under the funnel's +100 lift; allow ~1 extra % of
+    # the diameter over the plain-schedule threshold
+    assert err_f < 0.12 * est_f.diameter, f"funnel ADD-S {err_f}"
+
+    pose_full = estimator.register(K, rgb, depth, mask)
+    err_full = float(metrics.adds_err(pose_full, gt, mesh.vertices))
+    # funnel must stay in the same accuracy class as the full schedule
+    assert err_f <= err_full + 0.03 * est_f.diameter
+
+
+def test_track_streaming_async(estimator):
+    """sync=False tracking keeps the chain on device and returns a deferred
+    pose; results must match the synchronous path frame by frame."""
+    mesh = estimator.mesh_ori
+    gt = np.eye(4)
+    gt[:3, :3] = np.asarray(geo.euler_matrix(0.3, -0.2, 0.5))[:3, :3]
+    gt[:3, 3] = [0.01, -0.02, 0.55]
+    rgb, depth, mask = render_scene(mesh, gt)
+    estimator.register(K, rgb, depth, mask)
+    pose_chain_start = estimator.pose_last.copy()
+
+    # three frames of small motion, async
+    frames = []
+    cur = gt.copy()
+    for i in range(3):
+        cur = cur.copy()
+        cur[:3, 3] += [0.004, -0.002, 0.005]
+        rgb_i, depth_i, _ = render_scene(mesh, cur)
+        frames.append((rgb_i, depth_i, cur))
+    outs = [estimator.track_one(r, d, K, iteration=3, sync=False) for r, d, _ in frames]
+    async_poses = [np.asarray(o).astype(np.float64) for o in outs[-1:]]  # sync tail
+    final_async = estimator.pose_last.copy()
+
+    # rerun synchronously from the same start
+    estimator.pose_last = pose_chain_start
+    for r, d, _ in frames:
+        sync_pose = estimator.track_one(r, d, K, iteration=3)
+    np.testing.assert_allclose(final_async, estimator.pose_last, atol=1e-5)
+    np.testing.assert_allclose(
+        async_poses[-1],
+        sync_pose,
+        atol=1e-5,
+    )
+    err = float(metrics.adds_err(sync_pose, frames[-1][2], mesh.vertices))
+    assert err < 0.1 * estimator.diameter
+
+
+def test_track_pretrack_crop_matches_fullframe():
+    """On a large frame the tracker uploads only a fixed window around the
+    last pose; the refined pose must match the full-frame path (an image
+    crop only shifts the principal point)."""
+    import dataclasses
+
+    K_big = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    HW_big = (480, 640)
+    mesh = asymmetric_mesh()
+    mt = raster.make_mesh_tensors(mesh)
+    gt = np.eye(4)
+    gt[:3, :3] = np.asarray(geo.euler_matrix(0.3, -0.2, 0.5))[:3, :3]
+    gt[:3, 3] = [0.02, -0.01, 0.62]
+    out = raster.render_full_frame(mt, gt[None], K_big, HW_big)
+    rgb = np.asarray(out["rgb"][0]) * 255.0
+    depth = np.asarray(out["depth"][0])
+
+    gcfg = GeometricConfig(input_size=64)
+    start = gt.copy()
+    start[:3, 3] += [0.005, -0.003, 0.008]
+
+    results = {}
+    for name, S in [("crop", 448), ("full", 0)]:
+        cfg = EstimatorConfig(
+            min_n_views=12, inplane_step=120, track_crop_size=S,
+        )
+        est = FoundationPoseTPU(
+            mesh, config=cfg,
+            refiner=GeometricRefiner(gcfg), scorer=GeometricScorer(gcfg),
+        )
+        est.pose_last = start @ np.linalg.inv(est.get_tf_to_centered_mesh())
+        results[name] = est.track_one(rgb, depth, K_big, iteration=3)
+        if S:  # the crop path must actually have engaged
+            r, d, K2 = est._pretrack_crop(
+                rgb.astype(np.uint8), depth.astype(np.float32), K_big
+            )
+            assert d.shape == (S, S), d.shape
+            assert K2[0, 2] != K_big[0, 2] or K2[1, 2] != K_big[1, 2]
+    # the separable-warp matmuls sum different zero-padding widths, so the
+    # two paths differ by float accumulation order (~1e-3 over 3 iterations)
+    np.testing.assert_allclose(results["crop"], results["full"], atol=3e-3)
+    for pose in results.values():
+        err = float(metrics.adds_err(pose, gt, mesh.vertices))
+        assert err < 0.05 * meshio.compute_mesh_diameter(mesh=mesh)

@@ -186,3 +186,27 @@ def test_field_reconstruction_sphere():
     # optimized poses: frame 0 pinned to its input pose
     opt = runner.get_optimized_poses_in_real_world()
     np.testing.assert_allclose(opt[0], cams[0], atol=1e-4)
+
+
+def test_optional_regularizers_finite():
+    """fs_rgb and eikonal regularizers (reference nerf_runner.py:559-568,
+    weights in config_ycbv.yml:75,84) produce finite losses and gradients."""
+    K, cams, rgbs, depths, masks = _sphere_scene()
+    translation, sc_factor, cluster = bounds_mod.compute_scene_bounds(
+        depths, masks, K, cams, voxel=0.02
+    )
+    rgbs_n, depths_n, masks_n, poses_n = bounds_mod.preprocess_data(
+        rgbs, depths, masks, cams, sc_factor, translation
+    )
+    occ_pts = (cluster + translation) * sc_factor
+    cfg = FieldConfig(
+        n_step=5, n_rand=256, n_samples=8, n_samples_around_depth=8,
+        triplane_resolutions=(8, 16), triplane_channels=2,
+        trunc=0.02, occ_resolution=16, mask_dilate_first=4, mask_dilate=4,
+        fs_rgb_weight=10.0, eikonal_weight=0.1,
+    )
+    runner = NeRFRunnerTPU(
+        cfg, rgbs_n, depths_n, masks_n, poses_n, K, occ_pts, sc_factor, translation
+    )
+    loss = runner.train(log_every=5)
+    assert np.isfinite(loss)
