@@ -7,6 +7,9 @@ harmonics to degree 4 (SHEncoder :68-151) and NeRF frequency embedding
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 _C0 = 0.28209479177387814
@@ -118,6 +121,98 @@ def _axis_taps(x01, R):
     )
 
 
+def _axis_dtaps(x01, R):
+    """d(_axis_taps)/d(x01): (N, R+1) rows with -R at tap i0 and +R at
+    i0+1 (zero outside [0,1], matching the clip)."""
+    inside = ((x01 >= 0.0) & (x01 <= 1.0)).astype(jnp.float32) * R
+    g = jnp.clip(x01, 0.0, 1.0) * R
+    i0 = jnp.floor(jnp.minimum(g, R - 1e-6))
+    grid = jnp.arange(R + 1, dtype=jnp.float32)
+    d = grid[None, :] - i0[:, None]
+    return (
+        jnp.where(d == 0.0, -1.0, 0.0) + jnp.where(d == 1.0, 1.0, 0.0)
+    ) * inside[:, None]
+
+
+_DOT_KW = dict(
+    preferred_element_type=jnp.float32,
+)
+
+
+def _plane_combo_fwd(Wa, Wb, p, R, C):
+    """(Wa @ p) ⊙ Wb summed over the b-axis -> (N, C). DEFAULT precision:
+    learned features, not geometry (the package-wide "highest" pin costs 6
+    MXU passes)."""
+    t = jnp.dot(
+        Wa, p.reshape(R + 1, (R + 1) * C),
+        precision=jax.lax.Precision.DEFAULT, **_DOT_KW,
+    ).reshape(-1, R + 1, C)
+    return (t * Wb[:, :, None]).sum(axis=1), t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _triplane_eval(planes, pts, resolutions, channels):
+    out, _ = _triplane_eval_fwd(planes, pts, resolutions, channels)
+    return out
+
+
+def _triplane_eval_fwd(planes, pts, resolutions, channels):
+    """planes: tuple of (3, R+1, R+1, C) per level; pts (N,3) in [-1,1].
+    Returns (N, L*C)."""
+    x01 = (pts + 1.0) * 0.5
+    outs = []
+    for p, R in zip(planes, resolutions):
+        Wx = _axis_taps(x01[:, 0], R)
+        Wy = _axis_taps(x01[:, 1], R)
+        Wz = _axis_taps(x01[:, 2], R)
+        level = 0.0
+        for (Wa, Wb, pl) in ((Wx, Wy, p[0]), (Wx, Wz, p[1]), (Wy, Wz, p[2])):
+            o, _ = _plane_combo_fwd(Wa, Wb, pl, R, channels)
+            level = level + o
+        outs.append(level)
+    return jnp.concatenate(outs, axis=-1), (planes, pts)
+
+
+def _triplane_eval_bwd(resolutions, channels, res, g):
+    """Analytic VJP. The autodiff input-grad path materializes several
+    (N, R+1, C) intermediates through the tap-construction `where`s and
+    costs ~4x the forward on TPU; here both the plane gradient and the
+    point gradient are the same interpolation-matmul chains as the forward
+    (plane grad: Waᵀ @ (Wb ⊙ g); point grad: derivative taps D in place of
+    W), ~2-3x the forward total."""
+    planes, pts = res
+    C = channels
+    x01 = (pts + 1.0) * 0.5
+    g_planes = []
+    g_pts = jnp.zeros_like(pts)
+    off = 0
+    for p, R in zip(planes, resolutions):
+        gl = g[:, off : off + C]  # (N,C)
+        off += C
+        taps = [_axis_taps(x01[:, a], R) for a in range(3)]
+        dtaps = [_axis_dtaps(x01[:, a], R) for a in range(3)]
+        gp_level = []
+        for (a, b, pl) in ((0, 1, p[0]), (0, 2, p[1]), (1, 2, p[2])):
+            Wa, Wb, Da, Db = taps[a], taps[b], dtaps[a], dtaps[b]
+            # plane grad: gP[i,j,c] = sum_n Wa[n,i] Wb[n,j] gl[n,c]
+            M = (Wb[:, :, None] * gl[:, None, :]).reshape(-1, (R + 1) * C)
+            gP = jnp.dot(
+                Wa.T, M, precision=jax.lax.Precision.DEFAULT, **_DOT_KW
+            ).reshape(R + 1, R + 1, C)
+            gp_level.append(gP)
+            # point grads via derivative taps
+            oa, _ = _plane_combo_fwd(Da, Wb, pl, R, C)  # d out / d x01[a]
+            ob, _ = _plane_combo_fwd(Wa, Db, pl, R, C)  # d out / d x01[b]
+            ga = (oa * gl).sum(-1) * 0.5  # d x01/d pts = 0.5
+            gb = (ob * gl).sum(-1) * 0.5
+            g_pts = g_pts.at[:, a].add(ga).at[:, b].add(gb)
+        g_planes.append(jnp.stack(gp_level))
+    return tuple(g_planes), g_pts
+
+
+_triplane_eval.defvjp(_triplane_eval_fwd, _triplane_eval_bwd)
+
+
 class TriplaneEncoder(nn.Module):
     """Multi-resolution triplane features via interpolation-weight matmuls.
 
@@ -134,30 +229,17 @@ class TriplaneEncoder(nn.Module):
     @nn.compact
     def __call__(self, pts):
         """pts: (N,3) in [-1,1] -> (N, L*C)."""
-        x01 = (pts + 1.0) * 0.5
-        outs = []
-        for li, R in enumerate(self.resolutions):
-            planes = self.param(
+        planes = tuple(
+            self.param(
                 f"planes_{R}",
                 nn.initializers.normal(self.init_scale),
                 (3, R + 1, R + 1, self.channels),
             )
-            Wx = _axis_taps(x01[:, 0], R)  # (N,R+1)
-            Wy = _axis_taps(x01[:, 1], R)
-            Wz = _axis_taps(x01[:, 2], R)
-            level = 0.0
-            for (Wa, Wb, p) in ((Wx, Wy, planes[0]),
-                                (Wx, Wz, planes[1]),
-                                (Wy, Wz, planes[2])):
-                # explicit 2D matmul + broadcast-reduce: XLA lowers the
-                # equivalent "ni,ijc->njc" einsum ~50x slower on TPU
-                t = jnp.dot(
-                    Wa, p.reshape(R + 1, (R + 1) * self.channels),
-                    preferred_element_type=jnp.float32,
-                ).reshape(-1, R + 1, self.channels)
-                level = level + (t * Wb[:, :, None]).sum(axis=1)
-            outs.append(level)
-        return jnp.concatenate(outs, axis=-1)
+            for R in self.resolutions
+        )
+        return _triplane_eval(
+            planes, pts, tuple(self.resolutions), self.channels
+        )
 
 
 def triplane_out_dim(resolutions, channels):

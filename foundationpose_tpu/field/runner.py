@@ -245,6 +245,7 @@ class NeRFRunnerTPU:
                 key, rays_o, dirs_w, target_d, occ,
                 cfg.n_samples, cfg.n_samples_around_depth,
                 trunc, neg_trunc_ratio=cfg.neg_trunc_ratio, far_default=far_n,
+                sort=False,  # every train loss is per-sample order-free
             )
             pts = rays_o[:, None, :] + dirs_w[:, None, :] * z_vals[..., None]
             inside = (jnp.abs(pts) <= 1.0).all(axis=-1)

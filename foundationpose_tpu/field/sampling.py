@@ -112,14 +112,20 @@ def sample_pdf(key, bins, weights, n_samples, deterministic=False):
 
 
 def sample_rays(key, rays_o, rays_d, depth, occ_grid, n_uniform, n_around_depth,
-                trunc, near_far=None, neg_trunc_ratio=1.0, far_default=2.0):
+                trunc, near_far=None, neg_trunc_ratio=1.0, far_default=2.0,
+                sort=True):
     """Build per-ray sample depths + validity.
 
     rays_o/rays_d: (N,3) in the normalized world frame. ``rays_d`` is the
     CV camera direction rotated to world (z-component 1 in cam), so the
     sample parameter equals camera-depth z.
     depth: (N,) observed depth along the ray (normalized units; >far invalid).
-    Returns z_vals (N, n_uniform+n_around_depth) sorted, valid (N,S) bool.
+    Returns z_vals (N, n_uniform+n_around_depth), valid (N,S) bool.
+
+    ``sort=False`` skips the along-ray ordering: every training consumer
+    (band weights, sdf/fs/empty losses) is per-sample order-free — the
+    (N,S) bitonic sort costs tens of ms per step on TPU and only matters
+    for ordered-traversal consumers like zero-crossing depth extraction.
     """
     k1, k2 = jax.random.split(key)
     tmin, tmax = ray_box_intersect(rays_o, rays_d)
@@ -134,7 +140,9 @@ def sample_rays(key, rays_o, rays_d, depth, occ_grid, n_uniform, n_around_depth,
         k2, nd - trunc, nd + trunc * neg_trunc_ratio, n_around_depth
     )
 
-    z_vals = jnp.sort(jnp.concatenate([z_uniform, z_depth], axis=-1), axis=-1)
+    z_vals = jnp.concatenate([z_uniform, z_depth], axis=-1)
+    if sort:
+        z_vals = jnp.sort(z_vals, axis=-1)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     valid = occupancy_lookup(occ_grid, pts)
     valid = valid & hit[:, None]
