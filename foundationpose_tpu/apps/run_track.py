@@ -106,12 +106,23 @@ def track_video(reader, mesh=None, mode="geometric", weights=None,
         r["add"] = float(metrics.add_err(pose, gt, mesh.vertices))
         r["adds"] = float(metrics.adds_err(pose, gt, mesh.vertices))
     adds = [r["adds"] for r in results if "adds" in r]
+    pairs = [
+        (np.asarray(r["pose"]), reader.get_gt_pose(r["i"]))
+        for r in results
+        if reader.get_gt_pose(r["i"]) is not None
+    ]
     summary = {
         "frames": len(results),
         "track_fps": round(fps, 2),
         "adds_mean": float(np.mean(adds)) if adds else None,
         "adds_auc_0.1d": (
             float(np.mean(np.asarray(adds) < 0.1 * est.diameter)) if adds else None
+        ),
+        # trajectory error vs annotated poses (BundleSDF's headline metric)
+        "ate_rmse": (
+            metrics.ate_rmse([p for p, _ in pairs], [g for _, g in pairs])
+            if len(pairs) >= 3
+            else None
         ),
     }
     return results, summary

@@ -58,3 +58,56 @@ def compute_auc(errs, max_val=0.1, step=0.001):
             break
     auc = np.trapezoid(Y, X) / max_val
     return float(auc)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory metrics (the BundleSDF/object-SLAM evaluation surface; the
+# driver-set north star pairs ADD-S AUC with tracking ATE, BASELINE.md).
+# The reference snapshot ships no trajectory metrics — these follow the
+# standard TUM-RGBD definitions (Sturm et al.).
+# ---------------------------------------------------------------------------
+
+
+def align_trajectory_se3(pred_t, gt_t):
+    """Least-squares SE3 (no scale) aligning pred translations onto gt
+    (Horn's method). pred_t/gt_t: (N,3). Returns (R (3,3), t (3,))."""
+    pred_t = np.asarray(pred_t, np.float64)
+    gt_t = np.asarray(gt_t, np.float64)
+    mu_p = pred_t.mean(axis=0)
+    mu_g = gt_t.mean(axis=0)
+    H = (pred_t - mu_p).T @ (gt_t - mu_g)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.eye(3)
+    S[2, 2] = np.sign(np.linalg.det(Vt.T @ U.T))
+    R = Vt.T @ S @ U.T
+    t = mu_g - R @ mu_p
+    return R, t
+
+
+def ate_rmse(pred_poses, gt_poses, align=True):
+    """Absolute trajectory error: RMSE of translation residuals between the
+    predicted and GT pose sequences (N,4,4), optionally after a global SE3
+    alignment."""
+    pred_t = np.asarray(pred_poses, np.float64)[:, :3, 3]
+    gt_t = np.asarray(gt_poses, np.float64)[:, :3, 3]
+    if align:
+        R, t = align_trajectory_se3(pred_t, gt_t)
+        pred_t = pred_t @ R.T + t
+    return float(np.sqrt(((pred_t - gt_t) ** 2).sum(axis=-1).mean()))
+
+
+def rpe(pred_poses, gt_poses, delta=1):
+    """Relative pose error over frame gaps of ``delta``: mean translation
+    drift (meters) and mean rotation drift (degrees) of
+    inv(gt_i^-1 gt_{i+d}) (pred_i^-1 pred_{i+d})."""
+    pred = np.asarray(pred_poses, np.float64)
+    gt = np.asarray(gt_poses, np.float64)
+    terrs, rerrs = [], []
+    for i in range(len(pred) - delta):
+        dp = np.linalg.inv(pred[i]) @ pred[i + delta]
+        dg = np.linalg.inv(gt[i]) @ gt[i + delta]
+        e = np.linalg.inv(dg) @ dp
+        terrs.append(np.linalg.norm(e[:3, 3]))
+        c = np.clip((np.trace(e[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        rerrs.append(np.degrees(np.arccos(c)))
+    return float(np.mean(terrs)), float(np.mean(rerrs))

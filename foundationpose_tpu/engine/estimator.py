@@ -96,6 +96,12 @@ class EstimatorConfig:
     # hypothesis gets every iteration).
     funnel_top_k: int = 0
     funnel_coarse_iterations: int = 1
+    # debug artifact dumps, mirroring the reference's debug levels
+    # (readme.md:118; estimater.py:176-221): 0 = off; >=1 saves a
+    # posed-box/axis visualization per register; >=2 additionally saves a
+    # render-vs-real crop canvas of the top hypotheses
+    debug: int = 0
+    debug_dir: str = "/tmp/foundationpose_tpu_debug"
     refiner: RefinerConfig = dataclasses.field(default_factory=RefinerConfig)
     scorer: ScorerConfig = dataclasses.field(default_factory=ScorerConfig)
 
@@ -393,7 +399,57 @@ class FoundationPoseTPU:
         self.scores = scores[:n_orig]
         self.pose_last = self.poses[0]
         best = self.poses[0] @ self.get_tf_to_centered_mesh()
+        if self.cfg.debug >= 1:
+            self._dump_register_debug(K, rgb, best)
         return best
+
+    def _dump_register_debug(self, K, rgb, best_pose):
+        """Visual-debug artifacts gated by debug level (reference
+        estimater.py:176-221, predict_score.py:27-52): level >=1 saves the
+        posed box/axis overlay; level >=2 adds a render-vs-real canvas of
+        the top-scoring hypotheses."""
+        import os
+
+        from foundationpose_tpu.utils import vis as vis_mod
+
+        os.makedirs(self.cfg.debug_dir, exist_ok=True)
+        rgb_u8 = self._as_u8(rgb)
+        img = vis_mod.draw_posed_3d_box(K, rgb_u8.copy(), best_pose, self.mesh_ori.bounds)
+        img = vis_mod.draw_xyz_axis(
+            img, best_pose, scale=float(self.diameter) / 2, K=K
+        )
+        self._imwrite(os.path.join(self.cfg.debug_dir, "vis_register.png"), img)
+        if self.cfg.debug >= 2:
+            k = min(5, len(self.poses))
+            out = raster.render_crops(
+                self.mesh_tensors,
+                jnp.asarray(self.poses[:k], jnp.float32),
+                jnp.asarray(K, jnp.float32),
+                geo.compute_crop_window_tf_batch(
+                    jnp.asarray(self.poses[:k], jnp.float32),
+                    jnp.asarray(K, jnp.float32),
+                    self.refiner.cfg.crop_ratio, float(self.diameter),
+                    (160, 160),
+                ),
+                out_hw=(160, 160),
+            )
+            tiles = [
+                (np.asarray(out["rgb"][i]) * 255).astype(np.uint8)
+                for i in range(k)
+            ]
+            canvas = vis_mod.make_grid_image(tiles, nrow=k)
+            self._imwrite(
+                os.path.join(self.cfg.debug_dir, "vis_score_top.png"), canvas
+            )
+
+    @staticmethod
+    def _imwrite(path, img):
+        try:
+            from PIL import Image
+
+            Image.fromarray(np.asarray(img).astype(np.uint8)).save(path)
+        except Exception as e:  # debug-only path: never break registration
+            logging.warning("debug imwrite failed: %s", e)
 
     # ------------------------------------------------------------------
     def _pretrack_crop(self, rgb_u8, depth, K):

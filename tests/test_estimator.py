@@ -242,3 +242,28 @@ def test_track_pretrack_crop_matches_fullframe():
     for pose in results.values():
         err = float(metrics.adds_err(pose, gt, mesh.vertices))
         assert err < 0.05 * meshio.compute_mesh_diameter(mesh=mesh)
+
+
+def test_register_debug_artifacts(tmp_path):
+    """debug>=2 saves the reference-style visual oracles
+    (estimater.py:176-221): posed-box overlay + top-hypothesis render canvas."""
+    import dataclasses
+    import os
+
+    mesh = asymmetric_mesh()
+    gt = np.eye(4)
+    gt[:3, :3] = np.asarray(geo.euler_matrix(0.3, -0.2, 0.5))[:3, :3]
+    gt[:3, 3] = [0.01, -0.02, 0.55]
+    rgb, depth, mask = render_scene(mesh, gt)
+    gcfg = GeometricConfig(input_size=64)
+    cfg = EstimatorConfig(
+        min_n_views=12, inplane_step=120, register_iterations=4,
+        debug=2, debug_dir=str(tmp_path),
+    )
+    est = FoundationPoseTPU(
+        mesh, config=cfg,
+        refiner=GeometricRefiner(gcfg), scorer=GeometricScorer(gcfg),
+    )
+    est.register(K, rgb, depth, mask)
+    assert os.path.exists(tmp_path / "vis_register.png")
+    assert os.path.exists(tmp_path / "vis_score_top.png")

@@ -134,3 +134,35 @@ def test_normalize_rotation():
     pose[:3, :3] *= 3.0
     out = np.asarray(geo.normalize_rotation(pose))
     np.testing.assert_allclose(out[:3, :3], np.eye(3), atol=1e-6)
+
+
+def test_trajectory_metrics():
+    """ATE is alignment-invariant (a rigidly transformed trajectory scores
+    ~0) and RPE measures per-step drift."""
+    from foundationpose_tpu.core import metrics
+
+    rng = np.random.default_rng(0)
+    n = 20
+    gt = np.tile(np.eye(4)[None], (n, 1, 1))
+    for i in range(n):
+        th = 0.1 * i
+        gt[i, :3, :3] = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        )
+        gt[i, :3, 3] = [np.cos(th), np.sin(th), 0.1 * i]
+
+    # rigidly transformed copy: ATE ~ 0 after alignment
+    T = np.eye(4)
+    T[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    T[:3, 3] = [0.5, -0.2, 0.3]
+    pred = np.einsum("ij,njk->nik", T, gt)
+    assert metrics.ate_rmse(pred, gt) < 1e-9
+    assert metrics.ate_rmse(pred, gt, align=False) > 0.1
+
+    # noisy trajectory: ATE ~ noise scale; RPE rotation ~ 0 for pure trans noise
+    noisy = gt.copy()
+    noisy[:, :3, 3] += rng.normal(0, 0.01, (n, 3))
+    ate = metrics.ate_rmse(noisy, gt)
+    assert 0.003 < ate < 0.05, ate
+    t_err, r_err = metrics.rpe(noisy, gt)
+    assert t_err > 0.005 and r_err < 1e-6

@@ -58,6 +58,7 @@ def test_track_video_synthetic(tmp_path):
     results, summary = track_video(reader, mesh=mesh, mode="geometric")
     assert summary["frames"] == 4
     assert summary["adds_mean"] is not None
+    assert summary["ate_rmse"] is not None and summary["ate_rmse"] < 0.02
     diameter = meshio.compute_mesh_diameter(mesh=mesh)
     for r in results:
         assert r["adds"] < 0.12 * diameter, (r["i"], r["adds"])
