@@ -14,6 +14,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from foundationpose_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--out-dir", default="/tmp/fp_tpu_demo")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")

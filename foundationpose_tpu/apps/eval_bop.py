@@ -105,6 +105,9 @@ def evaluate_scene(reader, ob_id, mode="geometric", weights=None, track=False,
 
 
 def main(argv=None):
+    from foundationpose_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="[%(funcName)s()] %(message)s")
     from foundationpose_tpu.io.datareader import get_bop_reader

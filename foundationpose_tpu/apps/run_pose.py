@@ -40,6 +40,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from foundationpose_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     logging.basicConfig(level=logging.INFO, format="[%(funcName)s()] %(message)s")

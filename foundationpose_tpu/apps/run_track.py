@@ -31,8 +31,9 @@ def build_parser():
     p.add_argument("--est-refine-iter", type=int, default=5)
     p.add_argument("--track-refine-iter", type=int, default=2)
     p.add_argument("--max-frames", type=int, default=None)
-    p.add_argument("--stream", action="store_true", default=True,
-                   help="async tracking (device-resident pose chain)")
+    p.add_argument("--stream", action=argparse.BooleanOptionalAction, default=True,
+                   help="async tracking (device-resident pose chain); "
+                        "--no-stream selects the synchronous path")
     p.add_argument("--out", default=None, help="per-frame results json")
     return p
 
@@ -80,7 +81,12 @@ def track_video(reader, mesh=None, mode="geometric", weights=None,
     K = reader.K
     results = []
     pending = []  # (frame index, deferred pose) for the streaming path
-    t_start = time.perf_counter()
+    # track_fps covers steady-state tracking only: the timer starts after
+    # frame 0's register AND after frame 1's track_one (which pays the
+    # track-program JIT compile), so short sequences don't report a fps
+    # dominated by compilation
+    t_start = None
+    n_timed = 0
     for i in range(n):
         rgb = reader.get_color(i)
         depth = reader.get_depth(i)
@@ -93,9 +99,17 @@ def track_video(reader, mesh=None, mode="geometric", weights=None,
         else:
             pose = est.track_one(rgb, depth, K)
             results.append({"i": i, "pose": pose.tolist()})
+        if i == 1:
+            t_start = time.perf_counter()
+        elif i > 1:
+            n_timed += 1
     for i, out in pending:
         results.append({"i": i, "pose": np.asarray(out).astype(np.float64).tolist()})
-    fps = (n - 1) / max(time.perf_counter() - t_start, 1e-9)
+    fps = (
+        n_timed / max(time.perf_counter() - t_start, 1e-9)
+        if t_start is not None and n_timed > 0
+        else None
+    )
 
     # score against annotated poses when available
     for r in results:
@@ -113,10 +127,15 @@ def track_video(reader, mesh=None, mode="geometric", weights=None,
     ]
     summary = {
         "frames": len(results),
-        "track_fps": round(fps, 2),
+        "track_fps": round(fps, 2) if fps is not None else None,
         "adds_mean": float(np.mean(adds)) if adds else None,
-        "adds_auc_0.1d": (
+        # threshold recall (fraction of frames with ADD-S < 0.1*diameter) and
+        # the real accuracy-threshold AUC (reference Utils.py:255-266)
+        "adds_recall_0.1d": (
             float(np.mean(np.asarray(adds) < 0.1 * est.diameter)) if adds else None
+        ),
+        "adds_auc_0.1": (
+            float(metrics.compute_auc(adds, max_val=0.1)) if adds else None
         ),
         # trajectory error vs annotated poses (BundleSDF's headline metric)
         "ate_rmse": (
@@ -129,6 +148,9 @@ def track_video(reader, mesh=None, mode="geometric", weights=None,
 
 
 def main(argv=None):
+    from foundationpose_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     from foundationpose_tpu.io.datareader import YcbineoatReader
 

@@ -69,3 +69,56 @@ def test_sharded_register_matches_single_device():
         err = float(metrics.adds_err(pose, gt, mesh_obj.vertices))
         assert err < 0.1 * est_sh.diameter
     np.testing.assert_allclose(pose_sh, pose_1, atol=1e-3)
+
+    # sharding pads (duplicates of hypothesis 0) are forced to the sort tail
+    # inside the fused program, so the kept top-n_grid entries must be exactly
+    # the real hypotheses: every score finite, and the whole ranked
+    # (pose, score) list matches the unsharded run — not just the argmax
+    assert np.isfinite(est_sh.scores).all()
+    np.testing.assert_allclose(est_sh.scores, est_1.scores, atol=1e-3)
+    np.testing.assert_allclose(est_sh.poses, est_1.poses, atol=1e-3)
+
+
+def test_sharded_register_funnel_pads_excluded():
+    """With funnel_top_k set, pad hypotheses must not consume fine-pass
+    slots: the sharded funnel run keeps the same ranked list as unsharded."""
+    import dataclasses
+
+    mesh_obj = _mesh_obj()
+    gt = np.eye(4)
+    gt[:3, :3] = np.asarray(geo.euler_matrix(-0.2, 0.4, 0.1))[:3, :3]
+    gt[:3, 3] = [0.0, 0.01, 0.5]
+    mt = raster.make_mesh_tensors(mesh_obj)
+    out = raster.render_full_frame(mt, gt[None], K, HW)
+    rgb = np.asarray(out["rgb"][0]) * 255.0
+    depth = np.asarray(out["depth"][0])
+    mask = np.asarray(out["mask"][0])
+
+    gcfg = GeometricConfig(input_size=64)
+
+    def make(device_mesh):
+        cfg = EstimatorConfig(
+            min_n_views=12, inplane_step=120, register_iterations=6,
+            funnel_top_k=8, funnel_coarse_iterations=2,
+        )
+        return FoundationPoseTPU(
+            _mesh_obj(), config=cfg,
+            refiner=GeometricRefiner(gcfg), scorer=GeometricScorer(gcfg),
+            device_mesh=device_mesh,
+        )
+
+    dmesh = make_device_mesh(len(jax.devices()), axis_names=("batch",))
+    est_sh = make(dmesh)
+    # require a non-divisible grid so pads actually exist
+    assert len(est_sh.rot_grid) % len(jax.devices()) != 0
+    pose_sh = est_sh.register(K, rgb, depth, mask)
+    est_1 = make(None)
+    pose_1 = est_1.register(K, rgb, depth, mask)
+
+    assert np.isfinite(est_sh.scores).all()
+    # exactly funnel_top_k entries carry the +100 winner lift, none of them pads
+    assert int(np.sum(est_sh.scores >= 100.0 + est_sh.scores.min())) >= 1
+    np.testing.assert_allclose(est_sh.scores, est_1.scores, atol=1e-3)
+    np.testing.assert_allclose(pose_sh, pose_1, atol=1e-3)
+    err = float(metrics.adds_err(pose_sh, gt, mesh_obj.vertices))
+    assert err < 0.1 * est_sh.diameter
