@@ -68,9 +68,11 @@ def make_crop_batch(
     if use_pallas:
         from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
 
+        # with_normal=False selects the compact kernel profile (8-wide rows,
+        # in-kernel lighting) — the network inputs only need rgb + xyz
         r = render_crops_pallas(
             mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
-            backface_cull=backface_cull,
+            backface_cull=backface_cull, with_normal=use_normal,
         )
     else:
         r = raster.render_crops(

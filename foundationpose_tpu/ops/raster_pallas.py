@@ -7,17 +7,24 @@ pixel x face pair with the minimum possible VPU work:
 
 - grid (pose, pixel-tile); per-pose face tables are VMEM-resident blocks;
 - faces are SORTED by their crop-space y-extent at prep time (invalid /
-  culled faces to the end), so the per-(tile, face-chunk) overlap bitmap
+  culled faces to the end), so the per-(tile, face-chunk) overlap range
   actually culls: each 128-face chunk spans a narrow row band and most
   chunks are skipped for most tiles;
 - the chunk loop carries only per-LANE running bests (score + chunk id) —
   no cross-lane reductions or attribute selection inside the loop;
 - after the loop, one cross-lane argmax finds each pixel's winning face and
-  a one-hot (Pt,128) @ (128,64) MXU matmul over just the winning chunk(s)
+  a one-hot (Pt,128) @ (128,T) MXU matmul over just the winning chunk(s)
   fetches the face's full table row (barycentric coefficients + per-corner
   attributes) — bf16_3x passes are exact for a 0/1 one-hot times f32 table;
 - perspective-correct interpolation recomputes the winner's barycentrics
   from the fetched coefficients in exact f32.
+
+The crop path (make_crop_batch) opts out of the normal-image epilogue
+(``with_normal=False``) and can write the kernel output in bfloat16
+(``out_bf16=True``) — the output stream is the largest DMA of the kernel
+and the table values are bf16-quantized anyway. (An 8-wide "compact" output
+profile was tried and measured SLOWER: sub-16-lane outputs hit Mosaic lane
+padding and strided DMA; the 16-wide row with bf16 is the fast shape.)
 
 Optional backface culling (valid for closed, consistently CCW-wound meshes
 — the estimator enables it automatically for watertight meshes) removes
@@ -39,134 +46,147 @@ from jax.experimental.pallas import tpu as pltpu
 
 from foundationpose_tpu.ops.raster import _bary_coeffs, _signed_area2, ZNEAR
 
-# pass-2 fetch-table layout, one 64-wide row per face (pre-rounded to bf16 so
-# the one-pass MXU one-hot fetch is exact; every quantity is stored in a
+# pass-2 fetch-table layout, one T_DIM-wide row per face (pre-rounded to bf16
+# so the one-pass MXU one-hot fetch is exact; every quantity is stored in a
 # locally-centered form so bf16 quantization is harmless — see prep()):
 # 0-8:   anchored barycentric triplets [a_k, b_k, w0_k] for k=0..2
 #        (w_k = a_k*(px-x0) + b_k*(py-y0) + w0_k; x0,y0 = face centroid)
 # 9,10:  anchor (x0, y0)
-# 16+16k .. 31+16k (k=0..2): per-corner attributes:
-#        [invz, xyz_cam-POSE_T(3), normal_cam(3), rgb-or-uv(3), diffuse, 0*5]
+# 16+A*k .. 16+A*(k+1)-1 (k=0..2): per-corner attributes, width A:
+#   FULL profile (A=16): [invz, xyz_cam-POSE_T(3), normal_cam(3), rgb-or-uv(3),
+#                         diffuse, 0, uv_lo(2), 0, 0]  (col 11 of the OUTPUT
+#                         row = hit mask)
+#   COMPACT profile (A=8): [invz, xyz_cam-POSE_T(3), rgb(3), diffuse]
 # The z-test loop (pass 1) reads full-f32 coefficient/invz tensors instead.
-A_DIM = 16   # per-corner attribute width (col 11 of the output = hit mask)
-T_DIM = 64   # fetch-table row width
 FC = 128     # face chunk (lane dimension of the chunk loop)
 
 
-def _raster_kernel(pix_ref, coeff_ref, invz_ref, table_ref, ranges_ref, out_ref):
-    """One (pose, pixel-tile) cell.
+def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
+                        out_dtype=jnp.float32):
+    """Kernel factory. ``A``: per-corner attribute width; ``T``: fetch-table
+    row width; ``compact``: 8-wide output with in-kernel lighting;
+    ``out_dtype``: bfloat16 halves the output DMA (the values are already
+    bf16-quantized by the fetch table, so the extra rounding is ~1 ulp)."""
 
-    pix_ref:    (Pt, 3)            pixel homogeneous coords
-    coeff_ref:  (1, 9, F)          rows 3k..3k+2 = coeff rows of bary comp k
-    invz_ref:   (1, 3, F)          per-corner 1/z
-    table_ref:  (1, F, T_DIM)      bf16-quantized fetch rows (sorted order)
-    ranges_ref: (1, T, 2) SMEM     [lo, hi) face-chunk range for this tile
-                                   (faces are y-sorted, so the overlapping
-                                   chunks are a contiguous run — dynamic loop
-                                   bounds replace a per-chunk lax.cond, which
-                                   costs ~0.4 us per chunk per cell)
-    out_ref:    (1, Pt, A_DIM)     interpolated attrs; col 11 = hit mask
-    """
-    Pt = pix_ref.shape[0]
-    tile = pl.program_id(1)
-    c_lo = ranges_ref[0, tile, 0]
-    c_hi = ranges_ref[0, tile, 1]
+    def kernel(pix_ref, coeff_ref, invz_ref, table_ref, ranges_ref, out_ref):
+        """One (pose, pixel-tile) cell.
 
-    px = pix_ref[:, 0:1]  # (Pt,1)
-    py = pix_ref[:, 1:2]
-    # hoist the lane-broadcast of the pixel coords out of the chunk loop
-    pxb = jnp.broadcast_to(px, (Pt, FC))
-    pyb = jnp.broadcast_to(py, (Pt, FC))
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Pt, FC), 1)
-    lane_rev = FC - 1 - lane_iota  # tie-break: prefer the LOWEST lane
+        pix_ref:    (Pt, 3)            pixel homogeneous coords
+        coeff_ref:  (1, 9, F)          rows 3k..3k+2 = coeff rows of bary comp k
+        invz_ref:   (1, 3, F)          per-corner 1/z
+        table_ref:  (1, F, T)          bf16-quantized fetch rows (sorted order)
+        ranges_ref: (1, Tn, 2) SMEM    [lo, hi) face-chunk range for this tile
+                                       (faces are y-sorted, so the overlapping
+                                       chunks are a contiguous run — dynamic
+                                       loop bounds replace a per-chunk
+                                       lax.cond, which costs ~0.4 us per chunk
+                                       per cell)
+        out_ref:    (1, Pt, A_OUT)     interpolated attrs
+        """
+        tile = pl.program_id(1)
+        c_lo = ranges_ref[0, tile, 0]
+        c_hi = ranges_ref[0, tile, 1]
 
-    # ---- pass 1: per-lane best (score, chunk) over the active chunk run ----
-    # The score carry is an order-preserving int32 packing of the f32 score
-    # with the lane id in the low 7 mantissa bits: one cross-lane int-max
-    # then recovers both the winner's score and its lane. (Cross-lane
-    # reductions are ~5 us each on (Pt,128); packing cuts three of them to
-    # one.) Clobbering 7 mantissa bits costs 2^-16 relative z-resolution —
-    # far below visible z-fighting. The plain bitcast is order-preserving
-    # on the score domain {-1.0} u (0, inf).
-    def body(c, carry):
-        packed_best, best_chunk = carry
-        ds = pl.ds(c * FC, FC)
-        # exact-f32 barycentrics on the VPU (bary decides visibility and
-        # sub-pixel interpolation; bf16 MXU passes cost ~1 cm depth error)
-        w = [
-            pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
-            + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
-            + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
-            for k in range(3)
-        ]  # 3 x (Pt,FC)
-        inside = jnp.minimum(w[0], jnp.minimum(w[1], w[2])) >= -1e-6
-        pix_invz = (
-            w[0] * invz_ref[0, 0:1, ds]
-            + w[1] * invz_ref[0, 1:2, ds]
-            + w[2] * invz_ref[0, 2:3, ds]
+        px = pix_ref[:, 0:1]  # (Pt,1)
+        py = pix_ref[:, 1:2]
+        # hoist the lane-broadcast of the pixel coords out of the chunk loop
+        pxb = jnp.broadcast_to(px, (Pt, FC))
+        pyb = jnp.broadcast_to(py, (Pt, FC))
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Pt, FC), 1)
+        lane_rev = FC - 1 - lane_iota  # tie-break: prefer the LOWEST lane
+
+        # ---- pass 1: per-lane best (score, chunk) over the active run ----
+        # The score carry is an order-preserving int32 packing of the f32
+        # score with the lane id in the low 7 mantissa bits: one cross-lane
+        # int-max then recovers both the winner's score and its lane.
+        # (Cross-lane reductions are ~5 us each on (Pt,128); packing cuts
+        # three of them to one.) Clobbering 7 mantissa bits costs 2^-16
+        # relative z-resolution — far below visible z-fighting. The plain
+        # bitcast is order-preserving on the score domain {-1.0} u (0, inf).
+        def body(c, carry):
+            packed_best, best_chunk = carry
+            ds = pl.ds(c * FC, FC)
+            # exact-f32 barycentrics on the VPU (bary decides visibility and
+            # sub-pixel interpolation; bf16 MXU passes cost ~1 cm depth error)
+            w = [
+                pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
+                + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
+                + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
+                for k in range(3)
+            ]  # 3 x (Pt,FC)
+            inside = jnp.minimum(w[0], jnp.minimum(w[1], w[2])) >= -1e-6
+            pix_invz = (
+                w[0] * invz_ref[0, 0:1, ds]
+                + w[1] * invz_ref[0, 1:2, ds]
+                + w[2] * invz_ref[0, 2:3, ds]
+            )
+            score = jnp.where(inside, pix_invz, -1.0)
+            packed = (
+                jax.lax.bitcast_convert_type(score, jnp.int32) & ~jnp.int32(FC - 1)
+            ) | lane_rev
+            improved = packed > packed_best
+            packed_best = jnp.where(improved, packed, packed_best)
+            best_chunk = jnp.where(improved, jnp.float32(c), best_chunk)
+            return packed_best, best_chunk
+
+        init = (
+            # bitcast(-1.0) with lane bits: still negative, below any hit
+            jnp.full((Pt, FC), np.float32(-1.0).view(np.int32), jnp.int32),
+            jnp.zeros((Pt, FC), jnp.float32),
         )
-        score = jnp.where(inside, pix_invz, -1.0)
-        packed = (
-            jax.lax.bitcast_convert_type(score, jnp.int32) & ~jnp.int32(FC - 1)
-        ) | lane_rev
-        improved = packed > packed_best
-        packed_best = jnp.where(improved, packed, packed_best)
-        best_chunk = jnp.where(improved, jnp.float32(c), best_chunk)
-        return packed_best, best_chunk
+        packed_best, best_chunk = jax.lax.fori_loop(c_lo, c_hi, body, init)
 
-    init = (
-        # bitcast(-1.0) with lane bits: still negative, below any hit
-        jnp.full((Pt, FC), np.float32(-1.0).view(np.int32), jnp.int32),
-        jnp.zeros((Pt, FC), jnp.float32),
-    )
-    packed_best, best_chunk = jax.lax.fori_loop(c_lo, c_hi, body, init)
+        # ---- winner extraction: ONE cross-lane reduction per pixel ----
+        packed_top = jnp.max(packed_best, axis=-1, keepdims=True)  # (Pt,1)
+        hit = packed_top > 0
+        win_lane = (FC - 1) - (packed_top & jnp.int32(FC - 1))  # (Pt,1)
+        onehot_lane = (lane_iota == win_lane).astype(jnp.float32)
 
-    # ---- winner extraction: ONE cross-lane reduction per pixel ----
-    packed_top = jnp.max(packed_best, axis=-1, keepdims=True)  # (Pt,1) int32
-    hit = packed_top > 0
-    win_lane = (FC - 1) - (packed_top & jnp.int32(FC - 1))  # (Pt,1)
-    onehot_lane = (lane_iota == win_lane).astype(jnp.float32)
+        # ---- pass 2: fetch winner rows from active chunks via MXU ----
+        def body2(c, row):
+            ds = pl.ds(c * FC, FC)
+            sel = onehot_lane * (best_chunk == jnp.float32(c))  # (Pt,FC)
+            # one bf16 MXU pass: sel is exact 0/1 and the table rows are
+            # already bf16-quantized, so the fetch reproduces them exactly;
+            # a 6-pass HIGHEST fetch costs 6x the cycles
+            return row + jnp.dot(
+                sel,
+                table_ref[0, ds, :],
+                preferred_element_type=jnp.float32,
+            )
 
-    # ---- pass 2: fetch winner rows from active chunks via MXU one-hot ----
-    def body2(c, row):
-        ds = pl.ds(c * FC, FC)
-        sel = onehot_lane * (best_chunk == jnp.float32(c))  # (Pt,FC)
-        # one bf16 MXU pass: sel is exact 0/1 and the table rows are already
-        # bf16-quantized, so the fetch reproduces them exactly; a 6-pass
-        # HIGHEST fetch costs 6x the cycles
-        return row + jnp.dot(
-            sel,
-            table_ref[0, ds, :],
-            preferred_element_type=jnp.float32,
-        )
+        row = jax.lax.fori_loop(c_lo, c_hi, body2, jnp.zeros((Pt, T), jnp.float32))
 
-    row = jax.lax.fori_loop(c_lo, c_hi, body2, jnp.zeros((Pt, T_DIM), jnp.float32))
+        # ---- perspective-correct interpolation from the winner's row ----
+        hitf = hit.astype(jnp.float32)
+        attrs = [row[:, 16 + A * k : 16 + A * (k + 1)] for k in range(3)]
+        dx = px - row[:, 9:10]  # pixel offset from the face anchor: O(face
+        dy = py - row[:, 10:11]  # size), so the bf16-stored coefficients cost
+        pw = []                  # ~0.5% of a px
+        for k in range(3):
+            w_k = (
+                row[:, 3 * k : 3 * k + 1] * dx
+                + row[:, 3 * k + 1 : 3 * k + 2] * dy
+                + row[:, 3 * k + 2 : 3 * k + 3]
+            )  # (Pt,1) winner barycentric, anchored form
+            pw.append(w_k * attrs[k][:, 0:1])
+        s = jnp.maximum(pw[0] + pw[1] + pw[2], 1e-12)
+        interp = (pw[0] * attrs[0] + pw[1] * attrs[1] + pw[2] * attrs[2]) / s
 
-    # ---- perspective-correct interpolation from the winner's row ----
-    hitf = hit.astype(jnp.float32)
-    attrs = [row[:, 16 + 16 * k : 32 + 16 * k] for k in range(3)]  # (Pt,16) x3
-    dx = px - row[:, 9:10]  # pixel offset from the face anchor: O(face size),
-    dy = py - row[:, 10:11]  # so the bf16-stored coefficients cost ~0.5% of a px
-    pw = []
-    for k in range(3):
-        w_k = (
-            row[:, 3 * k : 3 * k + 1] * dx
-            + row[:, 3 * k + 1 : 3 * k + 2] * dy
-            + row[:, 3 * k + 2 : 3 * k + 3]
-        )  # (Pt,1) winner barycentric, anchored form
-        pw.append(w_k * attrs[k][:, 0:1])
-    s = jnp.maximum(pw[0] + pw[1] + pw[2], 1e-12)
-    interp = (pw[0] * attrs[0] + pw[1] * attrs[1] + pw[2] * attrs[2]) / s
-    interp = interp * hitf
-    # stash the hit mask in padding column 11 (unused by the attribute layout)
-    mask_col = jax.lax.broadcasted_iota(jnp.int32, (Pt, A_DIM), 1) == 11
-    interp = jnp.where(mask_col, hitf, interp)
-    out_ref[0, :, :] = interp
+        interp = interp * hitf
+        # stash the hit mask in padding column 11 (unused by the layout)
+        mask_col = jax.lax.broadcasted_iota(jnp.int32, (Pt, A), 1) == 11
+        out_ref[0, :, :] = jnp.where(mask_col, hitf, interp).astype(out_dtype)
+
+    return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "use_light", "interpret", "tile_rows", "backface_cull"),
+    static_argnames=(
+        "out_hw", "use_light", "interpret", "tile_rows", "backface_cull",
+        "with_normal", "w_ambient", "w_diffuse", "out_bf16",
+    ),
 )
 def render_crops_pallas(
     mesh_tensors,
@@ -179,14 +199,22 @@ def render_crops_pallas(
     w_diffuse=0.5,
     light_dir=(0.0, 0.0, 1.0),
     interpret=False,
-    tile_rows=8,
+    tile_rows=4,
     backface_cull=False,
+    with_normal=True,
+    out_bf16=False,
 ):
     """Pallas fast path: same contract as ops.raster.render_crops minus the
     tri/bary debug outputs. Vertex-color and textured meshes supported (uv
     interpolated in-kernel, texture sampled outside). Pixel tiles are bands of
     ``tile_rows`` rows so face chunks can be culled against a tile's y-range;
     faces are y-sorted per pose so the culling is tight.
+
+    ``with_normal=False`` (the crop path) skips the normal-image epilogue.
+    ``out_bf16=True`` writes the kernel output in bfloat16, halving the
+    biggest DMA stream; the interpolants are already bf16-quantized by the
+    fetch table, so this costs ~1 ulp (xyz stays um-accurate because it is
+    stored pose-centered).
 
     ``backface_cull=True`` additionally drops camera-facing-away triangles —
     exact for closed, consistently CCW-wound meshes (the visible surface of a
@@ -202,6 +230,9 @@ def render_crops_pallas(
     faces = mesh_tensors["faces"]
     vnormals = mesh_tensors["vnormals"]
     has_tex = "tex" in mesh_tensors
+    A_DIM = 16                         # per-corner attribute width
+    T_DIM = 16 + 3 * A_DIM             # fetch-table row width
+    A_OUT = A_DIM                      # kernel output row width
     F = faces.shape[0]
     Fp = ((F + FC - 1) // FC) * FC
     if Fp != F:
@@ -257,36 +288,37 @@ def render_crops_pallas(
 
         n_cam = vnormals @ R.T
         diffuse = jnp.clip(jnp.sum(n_cam * (-light)[None], axis=-1), 0.0, 1.0)
+        V = verts.shape[0]
         if has_tex:
             uv_hi = mesh_tensors["uv"]
-            # bf16 residual (hi/lo split): interpolation is linear, so adding
-            # the interpolated residual back restores full uv precision (bf16
-            # alone costs ~8 texels on a 2K texture)
+            # bf16 residual (hi/lo split): interpolation is linear, so
+            # adding the interpolated residual back restores full uv
+            # precision (bf16 alone costs ~8 texels on a 2K texture)
             uv_lo = uv_hi - uv_hi.astype(jnp.bfloat16).astype(jnp.float32)
             col_or_uv = jnp.concatenate(
-                [uv_hi, jnp.zeros((verts.shape[0], 1))], axis=-1
+                [uv_hi, jnp.zeros((V, 1))], axis=-1
             )
             tail = jnp.concatenate(
-                [jnp.zeros((verts.shape[0], 1)), uv_lo,
-                 jnp.zeros((verts.shape[0], A_DIM - 14))], axis=-1
+                [jnp.zeros((V, 1)), uv_lo, jnp.zeros((V, A_DIM - 14))],
+                axis=-1,
             )  # col 11 = mask slot, cols 12-13 = uv residual
         else:
             col_or_uv = mesh_tensors["vertex_color"]
-            tail = jnp.zeros((verts.shape[0], A_DIM - 11))
+            tail = jnp.zeros((V, A_DIM - 11))
         vert_attr = jnp.concatenate(
             [
-                jnp.zeros((verts.shape[0], 1)),  # invz placeholder (per corner)
-                v_cam - t[None],  # centered: bf16 keeps micrometre precision
+                jnp.zeros((V, 1)),  # invz placeholder (per corner)
+                v_cam - t[None],  # centered: bf16 keeps um precision
                 n_cam,
                 col_or_uv,
                 diffuse[:, None],
-                tail,  # pad (col 11 = mask; 12-13 = uv residual if textured)
+                tail,
             ],
             axis=-1,
         )  # (V, A_DIM)
         attr = vert_attr[faces]  # (Fp,3,A_DIM)
         attr = attr.at[:, :, 0].set(invz)
-        attr48 = attr.reshape(Fp, 3 * A_DIM)
+        attr3A = attr.reshape(Fp, 3 * A_DIM)
 
         # per-face y-extent for tile culling (invalid faces never overlap)
         y = tri_xy[..., 1]  # (Fp,3)
@@ -303,16 +335,16 @@ def render_crops_pallas(
                 anchored9,                   # 16-24 pass-2 anchored coeffs
                 anchor,                      # 25-26
                 jnp.zeros((Fp, 5)),          # 27-31
-                attr48,                      # 32-79 pass-2 attrs
+                attr3A,                      # 32-.. pass-2 attrs
             ],
             axis=-1,
-        )  # (Fp, 80)
+        )  # (Fp, 32 + 3*A_DIM)
         # sort faces by ymin (invalid last) so chunk y-extents are tight and
-        # whole chunks of culled faces disappear from the overlap bitmap
+        # whole chunks of culled faces disappear from the overlap ranges
         perm = jnp.argsort(ymin)
         return jnp.take(combined, perm, axis=0)
 
-    combined = jax.vmap(prep)(poses, crop_tfs)  # (B, Fp, 80)
+    combined = jax.vmap(prep)(poses, crop_tfs)  # (B, Fp, 32+3A)
     coeffT = combined[:, :, :9].transpose(0, 2, 1)  # (B, 9, Fp)
     invzT = combined[:, :, 9:12].transpose(0, 2, 1)  # (B, 3, Fp)
     ymin = combined[:, :, 12]
@@ -321,7 +353,7 @@ def render_crops_pallas(
     # reproduces the stored values exactly
     table = (
         combined[:, :, 16 : 16 + T_DIM].astype(jnp.bfloat16).astype(jnp.float32)
-    )  # (B, Fp, T_DIM): anchored coeffs | anchor | pad | attr48
+    )  # (B, Fp, T_DIM): anchored coeffs | anchor | pad | attr3A
 
     # ---- pixel grid: row bands of tile_rows rows ----
     P = H * W
@@ -354,8 +386,13 @@ def render_crops_pallas(
     c_hi = jnp.where(any_active, c_hi, 0)
     ranges = jnp.stack([c_lo, c_hi], axis=-1)  # (B, T, 2) int32
 
+    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
+    kernel = _make_raster_kernel(
+        Pt, A_DIM, T_DIM, False, use_light, float(w_ambient), float(w_diffuse),
+        out_dtype=out_dtype,
+    )
     out = pl.pallas_call(
-        _raster_kernel,
+        kernel,
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((Pt, 3), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
@@ -366,9 +403,9 @@ def render_crops_pallas(
             pl.BlockSpec((1, n_tiles, 2), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Pt, A_DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (1, Pt, A_OUT), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Pp, A_DIM), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, A_OUT), out_dtype),
         interpret=interpret,
         **(
             {}
@@ -381,11 +418,11 @@ def render_crops_pallas(
         ),
     )(pix, coeffT, invzT, table, ranges)
 
-    out = out[:, :P].reshape(B, H, W, A_DIM)
+    out = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
+    t_b = poses[:, None, None, :3, 3]
     mask = out[..., 11] > 0.5
     # un-center: the table stores xyz relative to each pose translation
-    xyz = (out[..., 1:4] + poses[:, None, None, :3, 3]) * mask[..., None]
-    normal = out[..., 4:7]
+    xyz = (out[..., 1:4] + t_b) * mask[..., None]
     depth = xyz[..., 2] * mask
     if has_tex:
         from foundationpose_tpu.ops.raster import _sample_texture
@@ -398,13 +435,16 @@ def render_crops_pallas(
         diffuse = out[..., 10:11]
         color = color * w_ambient + diffuse * color * w_diffuse
     color = jnp.clip(color, 0.0, 1.0) * mask[..., None]
-    nrm = normal / jnp.maximum(
-        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
-    )
-    return {
+    result = {
         "rgb": color,
         "depth": depth,
         "xyz": xyz,  # already masked above
-        "normal": nrm * mask[..., None],
         "mask": mask,
     }
+    if with_normal:
+        normal = out[..., 4:7]
+        nrm = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+        )
+        result["normal"] = nrm * mask[..., None]
+    return result

@@ -68,6 +68,33 @@ def test_pallas_textured():
     _compare(mesh, pose[None].astype(np.float32), use_light=False, atol=5e-3)
 
 
+def test_pallas_compact_profile_matches_xla():
+    """with_normal=False on a vertex-color mesh selects the compact kernel
+    (8-wide rows, in-kernel lighting): rgb/depth/xyz/mask must still match
+    the XLA reference; the normal output is intentionally dropped."""
+    mesh = meshio.make_icosphere_mesh(subdivisions=2, radius=0.05)
+    mesh.vertex_colors = (np.abs(mesh.vertices) / 0.05 * 255).astype(np.uint8)
+    poses = np.tile(np.eye(4)[None], (2, 1, 1)).astype(np.float32)
+    poses[:, 2, 3] = [0.4, 0.55]
+    poses[1, :3, :3] = np.asarray(geo.euler_matrix(0.2, 0.1, 0.9))[:3, :3]
+    mt = raster.make_mesh_tensors(mesh)
+    tfs = np.tile(np.eye(3)[None], (2, 1, 1)).astype(np.float32)
+    ref = raster.render_crops(mt, poses, K, tfs, out_hw=(64, 64))
+    fast = render_crops_pallas(
+        mt, poses, K, tfs, out_hw=(64, 64), interpret=True, tile_rows=8,
+        with_normal=False,
+    )
+    assert "normal" not in fast
+    mref = np.asarray(ref["mask"])
+    mfast = np.asarray(fast["mask"])
+    assert (mref == mfast).mean() > 0.999
+    both = mref & mfast
+    for k, tol in (("depth", 2e-3), ("xyz", 2e-3), ("rgb", 6e-3)):
+        a = np.asarray(ref[k])[both]
+        b = np.asarray(fast[k])[both]
+        assert np.abs(a - b).max() < tol, f"{k}: max diff {np.abs(a-b).max()}"
+
+
 def test_pallas_empty_when_behind():
     mesh = meshio.make_box((0.1, 0.1, 0.1))
     pose = np.eye(4)
