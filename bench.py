@@ -85,14 +85,17 @@ def main():
     np.asarray(out)
     track_fps = n_track / (time.perf_counter() - t0)
 
-    # funnel register (coarse pass on all hypotheses, fine pass on top-64):
-    # the TPU-optimized schedule, reported alongside the parity schedule
+    # funnel register (coarse pass on all hypotheses at 112px, fine pass on
+    # top-64 at full 160px): the TPU-optimized schedule, reported alongside
+    # the parity schedule
     import dataclasses as _dc
 
     est_f = FoundationPoseTPU(
         mesh,
         config=_dc.replace(
-            EstimatorConfig(register_iterations=5), funnel_top_k=64
+            EstimatorConfig(register_iterations=5),
+            funnel_top_k=64,
+            funnel_coarse_size=112,
         ),
     )
     est_f.register(K, rgb, depth, mask)  # compile

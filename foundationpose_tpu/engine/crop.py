@@ -68,11 +68,12 @@ def make_crop_batch(
     if use_pallas:
         from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
 
-        # with_normal=False selects the compact kernel profile (8-wide rows,
-        # in-kernel lighting) — the network inputs only need rgb + xyz
+        # out_bf16 halves the kernel's output DMA; the interpolants are
+        # already bf16-quantized by the fetch table so it costs ~1 ulp
         r = render_crops_pallas(
             mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
             backface_cull=backface_cull, with_normal=use_normal,
+            out_bf16=not use_normal,
         )
     else:
         r = raster.render_crops(

@@ -96,6 +96,12 @@ class EstimatorConfig:
     # hypothesis gets every iteration).
     funnel_top_k: int = 0
     funnel_coarse_iterations: int = 1
+    # crop resolution of the coarse funnel pass (the fine pass and every
+    # scorer call that ranks the final output stay at the full input size).
+    # The conv weights are resolution-independent; 112 px is enough to put
+    # the true pose inside the top-K and cuts coarse render+net work ~2x.
+    # 0 = full resolution.
+    funnel_coarse_size: int = 0
     # debug artifact dumps, mirroring the reference's debug levels
     # (readme.md:118; estimater.py:176-221): 0 = off; >=1 saves a
     # posed-box/axis visualization per register; >=2 additionally saves a
@@ -264,17 +270,22 @@ class FoundationPoseTPU:
             n_coarse = min(cfg.funnel_coarse_iterations, iteration - 1)
             if 0 < cfg.funnel_top_k < n_hyp and iteration > n_coarse > 0:
                 # coarse pass: a few refine iterations + score over ALL
-                # hypotheses
+                # hypotheses, optionally at reduced crop resolution (the
+                # coarse scores only select the top-K; the fine pass rescores
+                # at full resolution)
+                coarse_size = cfg.funnel_coarse_size or None
                 refined = refiner.traced_refine(
-                    mesh_tensors, rgb, xyz_map, K, hyp, diameter, n_coarse
+                    mesh_tensors, rgb, xyz_map, K, hyp, diameter, n_coarse,
+                    out_size=coarse_size,
                 )
                 scores = mask_pads(scorer.traced_score(
-                    mesh_tensors, rgb, xyz_map, K, refined, diameter
+                    mesh_tensors, rgb, xyz_map, K, refined, diameter,
+                    out_size=coarse_size,
                 ))
                 # fine pass: remaining iterations on the top-K only; rescore
                 # them and lift above the coarse field (the reference's +100
                 # tournament-winner offset, predict_score.py:209)
-                k = cfg.funnel_top_k
+                k = min(cfg.funnel_top_k, n_orig)
                 top_i = jax.lax.top_k(scores, k)[1]
                 top = refiner.traced_refine(
                     mesh_tensors, rgb, xyz_map, K, refined[top_i], diameter,
@@ -284,7 +295,8 @@ class FoundationPoseTPU:
                     mesh_tensors, rgb, xyz_map, K, top, diameter
                 )
                 refined = refined.at[top_i].set(top)
-                scores = scores.at[top_i].set(top_s + 100.0)
+                # re-mask: a rescored entry must never resurrect a pad's -inf
+                scores = mask_pads(scores.at[top_i].set(top_s + 100.0))
             else:
                 refined = refiner.traced_refine(
                     mesh_tensors, rgb, xyz_map, K, hyp, diameter, iteration
@@ -304,7 +316,7 @@ class FoundationPoseTPU:
                     mesh_tensors, rgb, xyz_map, K, top, diameter
                 )
                 refined = refined.at[top_i].set(top)
-                scores = scores.at[top_i].set(top_s + 100.0)
+                scores = mask_pads(scores.at[top_i].set(top_s + 100.0))
             order = jnp.argsort(-scores)
             refined = refined[order]
             scores = scores[order]

@@ -106,8 +106,11 @@ class GeometricRefiner:
         )
 
     def traced_refine(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter,
-                      iteration):
-        """Traceable body for fusing into a larger jitted program."""
+                      iteration, out_size=None):
+        """Traceable body for fusing into a larger jitted program.
+        ``out_size`` (the funnel coarse-resolution hint) is accepted for
+        interface parity with PoseRefiner and ignored — ICP samples model
+        points, not crop pixels."""
         return _icp_refine(self.cfg, mesh_tensors, poses, K, rgb, xyz_map,
                            mesh_diameter, int(iteration))
 
@@ -197,8 +200,10 @@ class GeometricScorer:
     def __init__(self, config: GeometricConfig = GeometricConfig()):
         self.cfg = _resolve(config)
 
-    def traced_score(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
-        """Traceable body for fusing into a larger jitted program."""
+    def traced_score(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter,
+                     out_size=None):
+        """Traceable body for fusing into a larger jitted program (``out_size``
+        accepted for interface parity with PoseScorer; ignored)."""
         return _geo_score(self.cfg, mesh_tensors, poses, K, rgb, xyz_map,
                           mesh_diameter)
 

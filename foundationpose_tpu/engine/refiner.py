@@ -86,12 +86,15 @@ class PoseRefiner:
         )
 
     def traced_refine(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter,
-                      iteration):
+                      iteration, out_size=None):
         """Traceable body for fusing into a larger jitted program (the
-        estimator's single-dispatch register/track)."""
+        estimator's single-dispatch register/track). ``out_size`` overrides
+        the crop resolution (the conv weights are resolution-independent and
+        the positional table slices to the token count, so a coarse funnel
+        pass can run the same weights on smaller crops)."""
         return _refine_iters(self.params, mesh_tensors, poses, K, rgb, xyz_map,
                              mesh_diameter, int(iteration), net=self.net,
-                             cfg=self.cfg)
+                             cfg=self.cfg, out_size=out_size)
 
 
 @functools.partial(jax.jit, static_argnames=("net", "cfg", "iteration"))
@@ -102,7 +105,7 @@ def _refine_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,
 
 
 def _refine_iters(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
-                  iteration, *, net, cfg: RefinerConfig):
+                  iteration, *, net, cfg: RefinerConfig, out_size=None):
     # fori_loop (not python unroll): the refine body — render + crop + net —
     # is traced once regardless of the iteration count, keeping compile time
     # and HLO size flat.
@@ -111,17 +114,17 @@ def _refine_iters(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         iteration,
         lambda _, p: refine_once(
             params, mesh_tensors, p, K, rgb, xyz_map, mesh_diameter,
-            net=net, cfg=cfg,
+            net=net, cfg=cfg, out_size=out_size,
         ),
         poses,
     )
 
 
 def refine_once(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
-                *, net, cfg: RefinerConfig):
+                *, net, cfg: RefinerConfig, out_size=None):
     data = make_crop_batch(
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
-        crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
+        crop_ratio=cfg.crop_ratio, out_size=int(out_size or cfg.input_size),
         normalize_xyz=cfg.normalize_xyz, z_invalid_thres=0.001,
         use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
     )

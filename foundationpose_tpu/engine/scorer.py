@@ -66,17 +66,21 @@ class PoseScorer:
             float(mesh_diameter),
         )
 
-    def traced_score(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
-        """Traceable body for fusing into a larger jitted program."""
+    def traced_score(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter,
+                     out_size=None):
+        """Traceable body for fusing into a larger jitted program.
+        ``out_size`` overrides the crop resolution (see
+        PoseRefiner.traced_refine)."""
         return _score_jit(self.net, self.cfg, self.params, mesh_tensors, poses,
-                          K, rgb, xyz_map, mesh_diameter)
+                          K, rgb, xyz_map, mesh_diameter, out_size)
 
 
-@functools.partial(jax.jit, static_argnames=("net", "cfg"))
-def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
+@functools.partial(jax.jit, static_argnames=("net", "cfg", "out_size"))
+def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,
+               mesh_diameter, out_size=None):
     data = make_crop_batch(
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
-        crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
+        crop_ratio=cfg.crop_ratio, out_size=int(out_size or cfg.input_size),
         normalize_xyz=cfg.normalize_xyz,
         z_invalid_thres=0.1,  # TripletH5Dataset semantics (h5_dataset.py:151)
         use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,

@@ -68,12 +68,17 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
     ``out_dtype``: bfloat16 halves the output DMA (the values are already
     bf16-quantized by the fetch table, so the extra rounding is ~1 ulp)."""
 
-    def kernel(pix_ref, coeff_ref, invz_ref, table_ref, ranges_ref, out_ref):
+    def kernel(pix_ref, coeff_ref, table_ref, ranges_ref, out_ref):
         """One (pose, pixel-tile) cell.
 
         pix_ref:    (Pt, 3)            pixel homogeneous coords
-        coeff_ref:  (1, 9, F)          rows 3k..3k+2 = coeff rows of bary comp k
-        invz_ref:   (1, 3, F)          per-corner 1/z
+        coeff_ref:  (1, 9, F)          rows 0-2/3-5: affine coeffs [a,b,c] of
+                                       barycentrics w0/w1 (w2 = 1 - w0 - w1:
+                                       the coeffs are det-normalized so they
+                                       partition unity); rows 6-8: the
+                                       inverse-depth screen plane [pa,pb,pc]
+                                       (1/z is affine in pixel coords, so the
+                                       z-test needs no per-corner invz at all)
         table_ref:  (1, F, T)          bf16-quantized fetch rows (sorted order)
         ranges_ref: (1, Tn, 2) SMEM    [lo, hi) face-chunk range for this tile
                                        (faces are y-sorted, so the overlapping
@@ -107,19 +112,17 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
             packed_best, best_chunk = carry
             ds = pl.ds(c * FC, FC)
             # exact-f32 barycentrics on the VPU (bary decides visibility and
-            # sub-pixel interpolation; bf16 MXU passes cost ~1 cm depth error)
-            w = [
+            # sub-pixel interpolation; bf16 MXU passes cost ~1 cm depth error).
+            # Only w0/w1 are evaluated; w2 falls out of partition-of-unity
+            # (invalid faces carry c0=c1=-1e9, so their min stays negative).
+            w0, w1, pix_invz = [
                 pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
                 + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
                 + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
                 for k in range(3)
-            ]  # 3 x (Pt,FC)
-            inside = jnp.minimum(w[0], jnp.minimum(w[1], w[2])) >= -1e-6
-            pix_invz = (
-                w[0] * invz_ref[0, 0:1, ds]
-                + w[1] * invz_ref[0, 1:2, ds]
-                + w[2] * invz_ref[0, 2:3, ds]
-            )
+            ]  # 3 x (Pt,FC); k=2 is the inverse-depth plane, not a bary
+            w2 = 1.0 - w0 - w1
+            inside = jnp.minimum(w0, jnp.minimum(w1, w2)) >= -1e-6
             score = jnp.where(inside, pix_invz, -1.0)
             packed = (
                 jax.lax.bitcast_convert_type(score, jnp.int32) & ~jnp.int32(FC - 1)
@@ -269,8 +272,13 @@ def render_crops_pallas(
         coeff = coeff.at[:, 2, :].set(
             jnp.where(valid[:, None], coeff[:, 2, :], -1e9)
         )
-        coeff9 = coeff.transpose(0, 2, 1).reshape(Fp, 9)  # [a_k,b_k,c_k] x3
         invz = 1.0 / jnp.maximum(tri_z, ZNEAR)  # (Fp,3)
+        # pass-1 rows: [a0,b0,c0, a1,b1,c1, pa,pb,pc] — w0/w1 affine coeffs
+        # plus the inverse-depth screen plane sum_k w_k(px,py) * invz_k,
+        # itself affine in (px,py) since the w_k are
+        coeffT2 = coeff.transpose(0, 2, 1).reshape(Fp, 9)
+        plane = jnp.einsum("frk,fk->fr", coeff, invz)  # (Fp,3) [pa,pb,pc]
+        coeff9 = jnp.concatenate([coeffT2[:, :6], plane], axis=-1)
 
         # pass-2 anchored coefficients: evaluate each bary component at the
         # (bf16-rounded) face centroid so the kernel recomputes the winner's
@@ -327,11 +335,10 @@ def render_crops_pallas(
 
         combined = jnp.concatenate(
             [
-                coeff9,                      # 0-8   pass-1 exact coeffs
-                invz,                        # 9-11  pass-1 exact invz
-                ymin[:, None],               # 12
-                ymax[:, None],               # 13
-                jnp.zeros((Fp, 2)),          # 14-15
+                coeff9,                      # 0-8   pass-1 coeffs + invz plane
+                ymin[:, None],               # 9
+                ymax[:, None],               # 10
+                jnp.zeros((Fp, 5)),          # 11-15
                 anchored9,                   # 16-24 pass-2 anchored coeffs
                 anchor,                      # 25-26
                 jnp.zeros((Fp, 5)),          # 27-31
@@ -346,9 +353,8 @@ def render_crops_pallas(
 
     combined = jax.vmap(prep)(poses, crop_tfs)  # (B, Fp, 32+3A)
     coeffT = combined[:, :, :9].transpose(0, 2, 1)  # (B, 9, Fp)
-    invzT = combined[:, :, 9:12].transpose(0, 2, 1)  # (B, 3, Fp)
-    ymin = combined[:, :, 12]
-    ymax = combined[:, :, 13]
+    ymin = combined[:, :, 9]
+    ymax = combined[:, :, 10]
     # pre-round the fetch table to bf16: the one-pass MXU one-hot fetch then
     # reproduces the stored values exactly
     table = (
@@ -397,7 +403,6 @@ def render_crops_pallas(
         in_specs=[
             pl.BlockSpec((Pt, 3), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, Fp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Fp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Fp, T_DIM), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             # SMEM: per-tile chunk-range scalars feed the dynamic loop bounds
             pl.BlockSpec((1, n_tiles, 2), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -416,7 +421,7 @@ def render_crops_pallas(
                 )
             }
         ),
-    )(pix, coeffT, invzT, table, ranges)
+    )(pix, coeffT, table, ranges)
 
     out = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
     t_b = poses[:, None, None, :3, 3]

@@ -1,6 +1,12 @@
-"""Stage-by-stage wall-clock profile of the register hot path on the real
-device. Times each jitted stage with block_until_ready after warmup."""
+"""Stage-level timing of the register hot path on the real device.
 
+Times, separately jitted: (a) the crop-space raster of all 252 hypotheses,
+(b) one refiner iteration (render + warp + RefineNet + update), (c) the
+scorer pass, (d) the RefineNet forward alone, (e) the real-image crop warp
+alone. Prints one JSON line.
+"""
+
+import json
 import os
 import sys
 import time
@@ -10,15 +16,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def t(fn, n=5):
-    import jax
-
-    r = fn()
-    jax.block_until_ready(r)
+def timeit(fn, n=5):
+    fn()  # compile
     t0 = time.perf_counter()
     for _ in range(n):
-        r = fn()
-    jax.block_until_ready(r)
+        out = fn()
+    import jax
+
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -33,18 +38,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from foundationpose_tpu.core import geometry as geo, meshio
-    from foundationpose_tpu.engine.crop import make_crop_batch
-    from foundationpose_tpu.engine.estimator import (
-        EstimatorConfig,
-        FoundationPoseTPU,
-        _preprocess_jit,
-    )
-    from foundationpose_tpu.ops import image as imops, raster
-    from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
+    from foundationpose_tpu.engine.estimator import EstimatorConfig, FoundationPoseTPU
+    from foundationpose_tpu.ops import raster
 
-    print("backend:", jax.default_backend(), jax.devices()[0])
-
-    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], np.float32)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
     HW = (480, 640)
     mesh = meshio.make_icosphere_mesh(subdivisions=3, radius=0.06)
     rng = np.random.default_rng(0)
@@ -61,86 +58,66 @@ def main():
     mask = np.asarray(out["mask"][0])
 
     est = FoundationPoseTPU(mesh, config=EstimatorConfig(register_iterations=5))
+    refiner, scorer = est.refiner, est.scorer
+    mesh_t = est.mesh_tensors
+    diameter = float(est.diameter)
     n = len(est.rot_grid)
-    print("n_hyp:", n, "faces:", est.mesh_tensors["faces"].shape[0])
 
-    depth_j = jnp.asarray(depth, jnp.float32)
-    K_j = jnp.asarray(K, jnp.float32)
-    d_p, xyz_map = _preprocess_jit(depth_j, K_j)
-    center = est.guess_translation(np.asarray(d_p), mask, K)
-    hyp = est.rot_grid.copy()
-    hyp[:, :3, 3] = center[None]
-    hyp = jnp.asarray(hyp, jnp.float32)
-    rgb_j = jnp.asarray(rgb, jnp.float32)
-    diam = float(est.diameter)
+    grid = jnp.asarray(est.rot_grid, jnp.float32)
+    center = jnp.asarray([0.02, -0.01, 0.6], jnp.float32)
+    hyp = grid.at[:, :3, 3].set(center[None])
+    Kj = jnp.asarray(K, jnp.float32)
+    rgbj = jnp.asarray(rgb, jnp.float32)
+    from foundationpose_tpu.ops import image as imops
 
-    print("preprocess:          %.1f ms" % (1e3 * t(lambda: _preprocess_jit(depth_j, K_j))))
+    d = imops.erode_depth(jnp.asarray(depth, jnp.float32), radius=2)
+    d = imops.bilateral_filter_depth(d, radius=2)
+    xyz_map = geo.depth2xyzmap(d, Kj)
+    xyz_map = jax.block_until_ready(xyz_map)
 
-    tfs = geo.compute_crop_window_tf_batch(hyp, K_j, 1.2, diam, (160, 160))
-    tfs = jax.block_until_ready(tfs)
+    res = {"n_hyp": n, "device": str(jax.devices()[0])}
 
-    f_croptf = jax.jit(
-        lambda p: geo.compute_crop_window_tf_batch(p, K_j, 1.2, diam, (160, 160))
-    )
-    print("crop_tf:             %.1f ms" % (1e3 * t(lambda: f_croptf(hyp))))
+    # (a) crop-batch construction (raster + warp + normalize, no net)
+    from foundationpose_tpu.engine.crop import make_crop_batch
 
-    f_pallas = jax.jit(
-        lambda p, tf: render_crops_pallas(est.mesh_tensors, p, K_j, tf)
-    )
-    print("render pallas x252:  %.1f ms" % (1e3 * t(lambda: f_pallas(hyp, tfs))))
+    crop_res = refiner.cfg.input_size
+    use_pallas = bool(refiner.cfg.use_pallas)
 
-    f_xla = jax.jit(
-        lambda p, tf: raster.render_crops(est.mesh_tensors, p, K_j, tf)
-    )
-    print("render XLA   x252:   %.1f ms" % (1e3 * t(lambda: f_xla(hyp, tfs))))
+    def f_crop():
+        return make_crop_batch(
+            mesh_t, hyp, Kj, rgbj, xyz_map, diameter,
+            crop_ratio=refiner.cfg.crop_ratio, out_size=crop_res,
+            use_pallas=use_pallas, backface_cull=refiner.cfg.backface_cull,
+        )["inputA"]
 
-    f_warp_b = jax.jit(
-        lambda tf: imops.warp_perspective(rgb_j, tf, (160, 160), mode="bilinear")
-    )
-    print("warp rgb bilinear:   %.1f ms" % (1e3 * t(lambda: f_warp_b(tfs))))
-    xyz_dev = jax.block_until_ready(xyz_map)
-    f_warp_n = jax.jit(
-        lambda tf: imops.warp_perspective(xyz_dev, tf, (160, 160), mode="nearest")
-    )
-    print("warp xyz nearest:    %.1f ms" % (1e3 * t(lambda: f_warp_n(tfs))))
+    res["cropbatch_s"] = round(timeit(f_crop), 4)
 
-    f_crop = jax.jit(
-        lambda p: make_crop_batch(
-            est.mesh_tensors, p, K_j, rgb_j, xyz_dev, diam, use_pallas=True
-        )
-    )
-    print("make_crop_batch:     %.1f ms" % (1e3 * t(lambda: f_crop(hyp))))
+    # (a2) raster alone
+    from foundationpose_tpu.ops import raster as rast
 
-    data = jax.block_until_ready(f_crop(hyp))
-    A, B = data["inputA"], data["inputB"]
-    net, params = est.refiner.net, est.refiner.params
-    f_net = jax.jit(lambda a, b: net.apply(params, a, b))
-    print("RefineNet fwd x252:  %.1f ms" % (1e3 * t(lambda: f_net(A, B))))
+    tfs = geo.compute_crop_window_tf_batch(hyp, Kj, 1.2, diameter, (crop_res, crop_res))
+    if use_pallas:
+        from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
 
-    snet, sparams = est.scorer.net, est.scorer.params
-    f_snet = jax.jit(lambda a, b: snet.apply(sparams, a, b, n))
-    print("ScoreNet fwd x252:   %.1f ms" % (1e3 * t(lambda: f_snet(A, B))))
+        f_r = jax.jit(lambda p: render_crops_pallas(
+            mesh_t, p, Kj, tfs, out_hw=(crop_res, crop_res), use_light=True,
+            backface_cull=refiner.cfg.backface_cull, with_normal=False)["rgb"])
+    else:
+        f_r = jax.jit(lambda p: rast.render_crops(
+            mesh_t, p, Kj, tfs, out_hw=(crop_res, crop_res), use_light=True,
+            with_normal=False)["rgb"])
+    res["raster_s"] = round(timeit(lambda: f_r(hyp)), 4)
 
-    from foundationpose_tpu.engine.refiner import _refine_jit
+    # (d) RefineNet forward alone on random crops
+    A = jnp.zeros((n, crop_res, crop_res, 6), jnp.float32)
+    B = jnp.ones((n, crop_res, crop_res, 6), jnp.float32)
+    try:
+        net_apply = jax.jit(lambda A, B: refiner.net.apply(refiner.params, A, B))
+        res["refnet_fwd_s"] = round(timeit(lambda: net_apply(A, B)), 4)
+    except Exception as e:
+        res["refnet_err"] = repr(e)[:200]
 
-    f_ref1 = lambda: _refine_jit(
-        est.refiner.net, est.refiner.cfg, est.refiner.params, est.mesh_tensors,
-        hyp, K_j, rgb_j, xyz_dev, diam, 1,
-    )
-    print("refine 1 iter:       %.1f ms" % (1e3 * t(f_ref1)))
-    f_ref5 = lambda: _refine_jit(
-        est.refiner.net, est.refiner.cfg, est.refiner.params, est.mesh_tensors,
-        hyp, K_j, rgb_j, xyz_dev, diam, 5,
-    )
-    print("refine 5 iters:      %.1f ms" % (1e3 * t(f_ref5)))
-
-    t0 = time.perf_counter()
-    est.register(K, rgb, depth, mask)
-    print("register e2e:        %.1f ms" % (1e3 * (time.perf_counter() - t0)))
-    t0 = time.perf_counter()
-    est.track_one(rgb, depth, K)
-    est.track_one(rgb, depth, K)
-    print("track_one e2e x2:    %.1f ms" % (1e3 * (time.perf_counter() - t0) / 2))
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":

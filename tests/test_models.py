@@ -53,3 +53,33 @@ def test_score_net_shapes():
     A2 = jnp.zeros((2 * L, 64, 64, 6))
     out2 = net.apply(params, A2, A2, L)
     assert out2["score_logit"].shape == (2, L)
+
+
+def test_learned_refiner_scorer_coarse_out_size():
+    """The funnel's coarse pass runs the SAME weights at a reduced crop
+    resolution (conv weights are resolution-independent; the positional table
+    slices to the token count). traced_refine/traced_score must accept the
+    out_size override and keep their output contracts."""
+    from foundationpose_tpu.core import meshio
+    from foundationpose_tpu.engine.refiner import PoseRefiner, RefinerConfig
+    from foundationpose_tpu.engine.scorer import PoseScorer, ScorerConfig
+    from foundationpose_tpu.ops import raster
+
+    mesh = meshio.make_icosphere_mesh(subdivisions=1, radius=0.05)
+    mesh.vertex_colors = np.full((len(mesh.vertices), 3), 150, np.uint8)
+    mt = raster.make_mesh_tensors(mesh)
+    K = np.array([[120.0, 0, 40], [0, 120.0, 30], [0, 0, 1]], np.float32)
+    rgb = jnp.zeros((60, 80, 3), jnp.float32)
+    xyz = jnp.zeros((60, 80, 3), jnp.float32)
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+    poses = poses.at[:, 2, 3].set(0.5)
+
+    ref = PoseRefiner(RefinerConfig(input_size=64, use_pallas=False))
+    out = ref.traced_refine(mt, rgb, xyz, K, poses, 0.1, 1, out_size=32)
+    assert out.shape == (2, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    sc = PoseScorer(ScorerConfig(input_size=64, use_pallas=False))
+    s = sc.traced_score(mt, rgb, xyz, K, poses, 0.1, out_size=32)
+    assert s.shape == (2,)
+    assert np.isfinite(np.asarray(s)).all()
