@@ -1,0 +1,159 @@
+"""Numerical weight-import parity: reference torch nets vs our flax nets.
+
+Loads the ACTUAL reference model code (learning/models/refine_network.py:26-93,
+score_network.py:27-95, network_modules.py:24-137) from /root/reference at
+test time (the modules only need torch/numpy once their dead `from Utils
+import *` is satisfied with an empty stub), randomly initializes them, exports
+the torch state_dict through models/weights.py, and asserts the flax forward
+pass matches the torch forward pass numerically.
+
+This pins, in one shot: the conv OIHW->HWIO and linear transposes, the fused
+MultiheadAttention in_proj mapping, BatchNorm folding against live running
+stats, the sinusoidal positional table, torch's post-LN TransformerEncoderLayer
+semantics, and the NCHW->NHWC token ordering — i.e. that a real released
+checkpoint would load and produce the reference's numbers.
+"""
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from foundationpose_tpu.models import weights as W
+from foundationpose_tpu.models.refine_net import RefineNet
+from foundationpose_tpu.models.score_net import ScoreNetMultiPair
+
+REF_MODELS = pathlib.Path("/root/reference/learning/models")
+
+
+class _Cfg(dict):
+    """Attribute+item access config shim (the reference uses omegaconf both
+    ways: cfg.use_BN and cfg['rot_rep'])."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    torch = pytest.importorskip("torch")
+    if not REF_MODELS.exists():
+        pytest.skip("reference snapshot not available")
+    # `from Utils import *` pulls nothing the model classes use; satisfy it
+    # with an empty module so the import graph resolves without the
+    # reference's GPU-only dependency stack (nvdiffrast/pytorch3d/...).
+    sys.modules.setdefault("Utils", types.ModuleType("Utils"))
+    mods = {}
+    for name in ("network_modules", "refine_network", "score_network"):
+        spec = importlib.util.spec_from_file_location(name, REF_MODELS / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+    mods["torch"] = torch
+    return mods
+
+
+def _randomize_bn_stats(torch, net, seed=0):
+    """Fresh BatchNorm has running_mean=0/var=1, which would make folding
+    trivially correct; give the stats realistic values."""
+    g = torch.Generator().manual_seed(seed)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.3)
+                m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+                m.weight.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.2)
+
+
+def _sd_numpy(net):
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+
+
+def _rand_inputs(seed, n, s, c=6):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, 1, (n, s, s, c)).astype(np.float32)
+    b = rng.uniform(0, 1, (n, s, s, c)).astype(np.float32)
+    return a, b
+
+
+@pytest.mark.parametrize("bn", [False, True])
+def test_refine_forward_parity(ref_models, bn):
+    torch = ref_models["torch"]
+    torch.manual_seed(7 if bn else 3)
+    cfg = _Cfg(use_BN=bn, rot_rep="axis_angle")
+    tnet = ref_models["refine_network"].RefineNet(cfg=cfg, c_in=6).eval()
+    if bn:
+        _randomize_bn_stats(torch, tnet, seed=11)
+
+    params = W.refine_params_from_torch(_sd_numpy(tnet), use_bn=bn)
+    fnet = RefineNet(c_in=6, rot_rep="axis_angle", norm=None, dtype=jnp.float32)
+
+    A, B = _rand_inputs(0, n=2, s=64)
+    with torch.no_grad():
+        tout = tnet(
+            torch.from_numpy(A.transpose(0, 3, 1, 2)),
+            torch.from_numpy(B.transpose(0, 3, 1, 2)),
+        )
+    fout = fnet.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(A), jnp.asarray(B))
+
+    np.testing.assert_allclose(
+        np.asarray(fout["trans"]), tout["trans"].numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fout["rot"]), tout["rot"].numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("bn", [False, True])
+def test_score_forward_parity(ref_models, bn):
+    torch = ref_models["torch"]
+    torch.manual_seed(5 if bn else 2)
+    cfg = _Cfg(use_BN=bn)
+    tnet = ref_models["score_network"].ScoreNetMultiPair(cfg=cfg, c_in=6).eval()
+    if bn:
+        _randomize_bn_stats(torch, tnet, seed=13)
+
+    params = W.score_params_from_torch(_sd_numpy(tnet), use_bn=bn)
+    fnet = ScoreNetMultiPair(c_in=6, norm=None, dtype=jnp.float32)
+
+    L = 3
+    A, B = _rand_inputs(1, n=L, s=64)  # one frame, L hypotheses
+    with torch.no_grad():
+        tout = tnet(
+            torch.from_numpy(A.transpose(0, 3, 1, 2)),
+            torch.from_numpy(B.transpose(0, 3, 1, 2)),
+            L=L,
+        )
+    fout = fnet.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(A), jnp.asarray(B), L
+    )
+    np.testing.assert_allclose(
+        np.asarray(fout["score_logit"]),
+        tout["score_logit"].numpy(),
+        atol=2e-4,
+        rtol=1e-3,
+    )
+
+
+def test_positional_table_matches_torch(ref_models):
+    """The sinusoidal table is recomputed (not loaded); it must equal the
+    reference buffer bit-for-bit-ish (network_modules.py:115-137)."""
+    from foundationpose_tpu.models.layers import sinusoidal_positions
+
+    pe_t = ref_models["network_modules"].PositionalEmbedding(512, max_len=400)
+    # torch and numpy float32 exp/sin differ in the last ulps; 5e-5 abs over
+    # a [-1,1] table is transcendental rounding, not a layout mismatch
+    np.testing.assert_allclose(
+        sinusoidal_positions(400, 512), pe_t.pe[0].numpy(), atol=5e-5, rtol=0
+    )
