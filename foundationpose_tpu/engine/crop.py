@@ -68,8 +68,11 @@ def make_crop_batch(
     if use_pallas:
         from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
 
-        # out_bf16 halves the kernel's output DMA; the interpolants are
-        # already bf16-quantized by the fetch table so it costs ~1 ulp
+        # out_bf16 halves the kernel's output DMA. Table-fetched values are
+        # bf16-exact, but interpolated xyz/rgb are f32 blends of bf16 corners,
+        # so the output re-round adds up to ~0.4% quantization on top of the
+        # table's own — measured register t-err parity is unaffected
+        # (scripts/sweep_raster.py)
         r = render_crops_pallas(
             mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
             backface_cull=backface_cull, with_normal=use_normal,

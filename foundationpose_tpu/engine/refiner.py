@@ -129,11 +129,41 @@ def refine_once(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
     )
     out = net.apply(params, data["inputA"], data["inputB"])
-    trans_delta, rot_mat_delta = decode_delta(out, cfg, mesh_diameter)
+    trans_delta, rot_mat_delta = decode_delta(
+        out, cfg, mesh_diameter,
+        poses=poses, K=K, tf_to_crops=data["tf_to_crops"],
+        input_size=int(out_size or cfg.input_size),
+    )
     return geo.egocentric_delta_pose_to_pose(poses, trans_delta, rot_mat_delta)
 
 
-def decode_delta(out, cfg: RefinerConfig, mesh_diameter):
+def _deepim_trans_delta(out_trans, poses, K, tf_to_crops, input_size):
+    """DeepIM-style translation decode (predict_pose_refine.py:201-218):
+    the net predicts a crop-space uv offset (in units of the crop width) and
+    a relative depth; unproject through the crop transform and K to get the
+    camera-space center delta."""
+    t = poses[:, :3, 3]  # (N,3)
+    z_pred = out_trans[:, 2] * t[:, 2]
+    # project hypothesis center into crop pixel space
+    uv = jnp.einsum("ij,nj->ni", K, t)
+    uv = uv / uv[:, 2:3]
+    uv_crop = jnp.einsum("nij,nj->ni", tf_to_crops, uv)[:, :2]
+    uv_pred_crop = uv_crop + out_trans[:, :2] * input_size
+    # back to image pixels, then unproject at the predicted depth
+    inv_tf = jnp.linalg.inv(tf_to_crops)
+    ones = jnp.ones((out_trans.shape[0], 1), jnp.float32)
+    uv_pred = jnp.einsum(
+        "nij,nj->ni", inv_tf, jnp.concatenate([uv_pred_crop, ones], axis=-1)
+    )[:, :2]
+    ray = jnp.einsum(
+        "ij,nj->ni", jnp.linalg.inv(K), jnp.concatenate([uv_pred, ones], axis=-1)
+    )
+    center_pred = ray * z_pred[:, None]
+    return center_pred - t
+
+
+def decode_delta(out, cfg: RefinerConfig, mesh_diameter, *, poses=None, K=None,
+                 tf_to_crops=None, input_size=None):
     """Delta decoding rules of predict_pose_refine.py:195-231."""
     if cfg.trans_rep == "tracknet":
         if cfg.normalize_xyz:
@@ -141,8 +171,18 @@ def decode_delta(out, cfg: RefinerConfig, mesh_diameter):
         else:
             tn = jnp.asarray(cfg.trans_normalizer, jnp.float32).reshape(1, 3)
             trans_delta = jnp.tanh(out["trans"]) * tn
+    elif cfg.trans_rep == "deepim":
+        trans_delta = _deepim_trans_delta(
+            out["trans"], poses, K, tf_to_crops,
+            input_size if input_size is not None else cfg.input_size,
+        )
+        if cfg.normalize_xyz:
+            # the reference applies the diameter scaling to ALL trans reps
+            # (predict_pose_refine.py:228-229), deepim included; mirrored for
+            # checkpoint parity even though the deepim delta is already metric
+            trans_delta = trans_delta * (mesh_diameter / 2.0)
     else:
-        raise NotImplementedError(cfg.trans_rep)
+        raise ValueError(cfg.trans_rep)
 
     if cfg.rot_rep == "axis_angle":
         rot_mat_delta = geo.so3_exp_map(

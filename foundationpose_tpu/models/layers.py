@@ -102,13 +102,47 @@ def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
     return pe
 
 
+def regrid_positions(pe: np.ndarray, train_hw, out_hw) -> np.ndarray:
+    """Bilinearly resample a (H*W, D) positional table laid out row-major
+    over ``train_hw`` onto an ``out_hw`` token grid (align-corners).
+
+    Used when the funnel schedule runs the nets on coarser crops: token (r,c)
+    of an h x w grid then reads the table at the fractional position it would
+    occupy in the training-time 20x20 grid, instead of the off-distribution
+    flat index 14r+c a plain slice would give it."""
+    H, W = train_hw
+    h, w = out_hw
+    pe2 = pe.reshape(H, W, -1)
+    rf = np.linspace(0.0, H - 1.0, h)
+    cf = np.linspace(0.0, W - 1.0, w)
+    r0 = np.clip(np.floor(rf).astype(int), 0, H - 2)
+    c0 = np.clip(np.floor(cf).astype(int), 0, W - 2)
+    ar = (rf - r0)[:, None, None]
+    ac = (cf - c0)[None, :, None]
+    top = pe2[r0][:, c0] * (1 - ac) + pe2[r0][:, c0 + 1] * ac
+    bot = pe2[r0 + 1][:, c0] * (1 - ac) + pe2[r0 + 1][:, c0 + 1] * ac
+    out = top * (1 - ar) + bot * ar
+    return out.reshape(h * w, -1).astype(pe.dtype)
+
+
 class PositionalEmbedding(nn.Module):
     d_model: int
     max_len: int = 512
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, grid_hw=None, train_hw=None):
+        """``grid_hw``: actual (h, w) spatial layout of the tokens;
+        ``train_hw``: layout the table was built for (e.g. (20, 20) for the
+        400-token pose nets). When the grids differ, the table is bilinearly
+        regridded so coarse-crop funnel passes see in-distribution positions."""
         pe = sinusoidal_positions(self.max_len, self.d_model)
+        if (
+            grid_hw is not None
+            and train_hw is not None
+            and tuple(grid_hw) != tuple(train_hw)
+        ):
+            pe = regrid_positions(pe, train_hw, grid_hw)
+            return x + jnp.asarray(pe, dtype=x.dtype)[None]
         return x + jnp.asarray(pe, dtype=x.dtype)[None, : x.shape[1]]
 
 

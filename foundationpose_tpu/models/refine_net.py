@@ -57,6 +57,12 @@ class RefineNet(nn.Module):
     rot_rep: str = "axis_angle"  # or "6d"
     norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # positional handling on non-20x20 token grids (coarse funnel crops):
+    # "regrid" bilinearly resamples the 20x20 table so positions stay
+    # in-distribution; "flat" slices the first h*w rows like the torch
+    # reference would (network_modules.py:133-137). At 160px input the two
+    # are identical.
+    pos_grid_mode: str = "regrid"
 
     @nn.compact
     def __call__(self, A, B):
@@ -68,8 +74,13 @@ class RefineNet(nn.Module):
         a, b = x[:bs], x[bs:]
         ab = jnp.concatenate([a, b], axis=-1)
         ab = EncoderAB(self.norm, self.dtype, name="encodeAB")(ab)  # (N,20,20,512)
+        grid_hw = (ab.shape[1], ab.shape[2])
         tokens = ab.reshape(bs, -1, ab.shape[-1])  # (N,400,512)
-        tokens = PositionalEmbedding(512, max_len=400, name="pos_embed")(tokens)
+        tokens = PositionalEmbedding(512, max_len=400, name="pos_embed")(
+            tokens,
+            grid_hw=grid_hw if self.pos_grid_mode == "regrid" else None,
+            train_hw=(20, 20),
+        )
 
         t = TransformerEncoderLayer(512, 4, 512, self.dtype, name="trans_tf")(tokens)
         trans = nn.Dense(3, dtype=self.dtype, name="trans_out")(t).mean(axis=1)

@@ -24,6 +24,8 @@ class ScoreNetMultiPair(nn.Module):
     c_in: int = 6
     norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # see RefineNet.pos_grid_mode
+    pos_grid_mode: str = "regrid"
 
     @nn.compact
     def __call__(self, A, B, L):
@@ -35,8 +37,13 @@ class ScoreNetMultiPair(nn.Module):
         a, b = x[:bs], x[bs:]
         ab = jnp.concatenate([a, b], axis=-1)
         ab = EncoderAB(self.norm, self.dtype, name="encoderAB")(ab)
+        grid_hw = (ab.shape[1], ab.shape[2])
         tokens = ab.reshape(bs, -1, ab.shape[-1])  # (B*L,400,512)
-        tokens = PositionalEmbedding(512, max_len=400, name="pos_embed")(tokens)
+        tokens = PositionalEmbedding(512, max_len=400, name="pos_embed")(
+            tokens,
+            grid_hw=grid_hw if self.pos_grid_mode == "regrid" else None,
+            train_hw=(20, 20),
+        )
         tokens = MultiheadSelfAttention(512, 4, self.dtype, name="att")(tokens)
         feats = tokens.mean(axis=1).reshape(bs // L, L, -1)  # (B,L,512)
         feats = MultiheadSelfAttention(512, 4, self.dtype, name="att_cross")(feats)

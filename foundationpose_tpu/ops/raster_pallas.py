@@ -57,7 +57,10 @@ from foundationpose_tpu.ops.raster import _bary_coeffs, _signed_area2, ZNEAR
 #                         diffuse, 0, uv_lo(2), 0, 0]  (col 11 of the OUTPUT
 #                         row = hit mask)
 #   COMPACT profile (A=8): [invz, xyz_cam-POSE_T(3), rgb(3), diffuse]
-# The z-test loop (pass 1) reads full-f32 coefficient/invz tensors instead.
+# The z-test loop (pass 1) reads a separate full-f32 (9, F) coefficient
+# tensor: rows 0-5 are the two det-normalized edge-function triplets
+# [a0,b0,c0,a1,b1,c1] and rows 6-8 the inverse-depth screen plane [pa,pb,pc]
+# (invz = pa*px + pb*py + pc), so pass 1 needs no per-corner invz values.
 FC = 128     # face chunk (lane dimension of the chunk loop)
 
 

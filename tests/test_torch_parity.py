@@ -97,7 +97,10 @@ def test_refine_forward_parity(ref_models, bn):
         _randomize_bn_stats(torch, tnet, seed=11)
 
     params = W.refine_params_from_torch(_sd_numpy(tnet), use_bn=bn)
-    fnet = RefineNet(c_in=6, rot_rep="axis_angle", norm=None, dtype=jnp.float32)
+    # "flat" mirrors torch's pe[:, :n] slicing at the 64px test size; at the
+    # native 160px both modes are identical (grid == 20x20)
+    fnet = RefineNet(c_in=6, rot_rep="axis_angle", norm=None, dtype=jnp.float32,
+                     pos_grid_mode="flat")
 
     A, B = _rand_inputs(0, n=2, s=64)
     with torch.no_grad():
@@ -125,7 +128,8 @@ def test_score_forward_parity(ref_models, bn):
         _randomize_bn_stats(torch, tnet, seed=13)
 
     params = W.score_params_from_torch(_sd_numpy(tnet), use_bn=bn)
-    fnet = ScoreNetMultiPair(c_in=6, norm=None, dtype=jnp.float32)
+    fnet = ScoreNetMultiPair(c_in=6, norm=None, dtype=jnp.float32,
+                             pos_grid_mode="flat")
 
     L = 3
     A, B = _rand_inputs(1, n=L, s=64)  # one frame, L hypotheses
@@ -157,3 +161,19 @@ def test_positional_table_matches_torch(ref_models):
     np.testing.assert_allclose(
         sinusoidal_positions(400, 512), pe_t.pe[0].numpy(), atol=5e-5, rtol=0
     )
+
+
+def test_pos_regrid_identity_and_corners():
+    """regrid == flat slice on the native 20x20 grid; on a coarse grid the
+    corner tokens land exactly on the table's corner entries."""
+    from foundationpose_tpu.models.layers import regrid_positions, sinusoidal_positions
+
+    pe = sinusoidal_positions(400, 512)
+    same = regrid_positions(pe, (20, 20), (20, 20))
+    np.testing.assert_allclose(same, pe, atol=1e-6)
+
+    coarse = regrid_positions(pe, (20, 20), (14, 14)).reshape(14, 14, 512)
+    fine = pe.reshape(20, 20, 512)
+    np.testing.assert_allclose(coarse[0, 0], fine[0, 0], atol=1e-6)
+    np.testing.assert_allclose(coarse[-1, -1], fine[-1, -1], atol=1e-6)
+    np.testing.assert_allclose(coarse[0, -1], fine[0, -1], atol=1e-6)
