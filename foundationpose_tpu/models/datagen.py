@@ -146,6 +146,48 @@ def make_score_batch(
     return {"A": A, "B": B, "adds": adds}
 
 
+def train_scorer_synthetic(mesh, K, steps=200, n_hyp=8, input_size=64,
+                           seed=0, lr=1e-4, log_every=50):
+    """Small end-to-end training driver: ScoreNetMultiPair on on-the-fly
+    synthetic hypothesis sets ranked by ADD (the 'pairwise_valid' supervision
+    of training_config.py:51). Returns (net, params, losses)."""
+    import logging
+
+    import optax
+
+    from foundationpose_tpu.core import meshio
+    from foundationpose_tpu.models import training
+    from foundationpose_tpu.models.score_net import ScoreNetMultiPair
+
+    bounds = mesh.bounds
+    centered = mesh.translated(-(bounds[0] + bounds[1]) / 2)
+    mt = raster.make_mesh_tensors(centered)
+    diameter = meshio.compute_mesh_diameter(mesh=centered)
+    model_pts = jnp.asarray(centered.vertices, jnp.float32)
+
+    net = ScoreNetMultiPair(c_in=6, dtype=jnp.float32)
+    dummy = jnp.zeros((2, input_size, input_size, 6))
+    params = net.init(jax.random.PRNGKey(seed), dummy, dummy, 2)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(seed + 1)
+    losses = []
+    for it in range(steps):
+        key, kb = jax.random.split(key)
+        data = make_score_batch(
+            kb, mt, jnp.asarray(K, jnp.float32), diameter, model_pts,
+            n_hyp=n_hyp, input_size=input_size,
+        )
+        params, opt_state, loss = training.scorer_train_step(
+            net, tx, params, opt_state,
+            {"A": data["A"], "B": data["B"], "adds": data["adds"]},
+        )
+        losses.append(float(loss))
+        if it % log_every == 0:
+            logging.info("scorer train step %d loss %.5f", it, losses[-1])
+    return net, params, losses
+
+
 def train_refiner_synthetic(mesh, K, steps=200, batch=16, input_size=64,
                             seed=0, lr=1e-4, log_every=50):
     """Small end-to-end training driver: RefineNet on on-the-fly synthetic
@@ -181,7 +223,7 @@ def train_refiner_synthetic(mesh, K, steps=200, batch=16, input_size=64,
             "trans_gt": data["trans_gt"], "rot_gt": data["rot_gt"],
         }
         params, opt_state, loss = training.refiner_train_step(
-            net, tx, params, opt_state, batch_t
+            net, tx, params, opt_state, batch_t, mesh_diameter=float(diameter)
         )
         losses.append(float(loss))
         if it % log_every == 0:

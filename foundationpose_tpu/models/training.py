@@ -27,23 +27,38 @@ def make_refiner_train_state(net, rng, input_size=160, c_in=6, lr=1e-4):
     return params, tx, tx.init(params)
 
 
-def refiner_loss(net, params, batch, rot_normalizer=0.3490658503988659):
-    """L2 on the decoded translation + geodesic-surrogate on rotation
-    (TrainRefinerConfig: trans/rot L2, training_config.py:97)."""
+def refiner_loss(net, params, batch, mesh_diameter):
+    """L2 on the DECODED deltas (TrainRefinerConfig: trans/rot L2,
+    training_config.py:97).
+
+    The network outputs are pushed through the exact inference decode
+    (engine.refiner.decode_delta — diameter scaling, tanh bounds, the
+    rotation transpose) and compared against the egocentric ground-truth
+    deltas, so train and inference are consistent BY CONSTRUCTION; training
+    raw outputs against metric targets would learn the inverse-transposed
+    map of what inference applies. Translation error is normalized by the
+    mesh radius to balance the two terms."""
+    from foundationpose_tpu.engine.refiner import RefinerConfig, decode_delta
+
     out = net.apply(params, batch["A"], batch["B"])
-    trans_pred = out["trans"]
-    rot_pred = geo.so3_exp_map(jnp.tanh(out["rot"]) * rot_normalizer)
-    loss_t = jnp.mean(jnp.sum((trans_pred - batch["trans_gt"]) ** 2, axis=-1))
+    cfg = RefinerConfig(rot_rep=net.rot_rep)
+    trans_delta, rot_mat_delta = decode_delta(out, cfg, mesh_diameter)
+    radius = mesh_diameter / 2.0
+    loss_t = jnp.mean(
+        jnp.sum(((trans_delta - batch["trans_gt"]) / radius) ** 2, axis=-1)
+    )
     loss_r = jnp.mean(
-        jnp.sum((rot_pred - batch["rot_gt"]) ** 2, axis=(-2, -1))
+        jnp.sum((rot_mat_delta - batch["rot_gt"]) ** 2, axis=(-2, -1))
     )
     return loss_t + loss_r
 
 
-@functools.partial(jax.jit, static_argnames=("net", "tx"), donate_argnums=(2, 3))
-def refiner_train_step(net, tx, params, opt_state, batch):
+@functools.partial(
+    jax.jit, static_argnames=("net", "tx", "mesh_diameter"), donate_argnums=(2, 3)
+)
+def refiner_train_step(net, tx, params, opt_state, batch, mesh_diameter=0.2):
     loss, grads = jax.value_and_grad(
-        lambda p: refiner_loss(net, p, batch)
+        lambda p: refiner_loss(net, p, batch, mesh_diameter)
     )(params)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

@@ -91,3 +91,47 @@ def test_scorer_train_step(mesh_setup):
         )
         losses.append(float(loss))
     assert np.isfinite(losses).all()
+
+
+def test_decode_inverts_egocentric_delta():
+    """Training targets must be expressible as exact decode outputs: for a
+    (poseA, poseB) pair within the tanh bounds there exist raw net outputs
+    whose decode_delta maps poseA exactly onto poseB. This pins the
+    train/inference consistency the refiner_loss relies on (decoded deltas
+    vs egocentric ground truth)."""
+    from foundationpose_tpu.core import geometry as geo
+    from foundationpose_tpu.engine.refiner import RefinerConfig, decode_delta
+
+    rng = np.random.default_rng(3)
+    d = 0.21  # mesh diameter
+    cfg = RefinerConfig()
+    poseA = np.eye(4, dtype=np.float32)[None].repeat(4, axis=0)
+    poseA[:, :3, :3] = np.asarray(
+        geo.so3_exp_map(jnp.asarray(rng.normal(0, 1.0, (4, 3)), jnp.float32))
+    )
+    poseA[:, :3, 3] = rng.normal(0, 0.05, (4, 3)) + [0, 0, 0.6]
+    dt = rng.uniform(-0.015, 0.015, (4, 3)).astype(np.float32)
+    dw = rng.uniform(-0.25, 0.25, (4, 3)).astype(np.float32)  # < 20 deg bound
+    poseB = np.asarray(
+        geo.egocentric_delta_pose_to_pose(
+            jnp.asarray(poseA),
+            jnp.asarray(dt),
+            jnp.asarray(geo.so3_exp_map(jnp.asarray(dw))),
+        )
+    )
+    trans_gt, rot_gt = geo.pose_to_egocentric_delta_pose(
+        jnp.asarray(poseA), jnp.asarray(poseB)
+    )
+
+    # ideal raw outputs inverting the decode
+    out_trans = np.asarray(trans_gt) / (d / 2.0)
+    w = -np.asarray(geo.so3_log_map(rot_gt))  # decode transposes
+    out_rot = np.arctanh(np.clip(w / cfg.rot_normalizer, -0.999999, 0.999999))
+
+    td, rd = decode_delta(
+        {"trans": jnp.asarray(out_trans), "rot": jnp.asarray(out_rot)}, cfg, d
+    )
+    poseB_dec = np.asarray(
+        geo.egocentric_delta_pose_to_pose(jnp.asarray(poseA), td, rd)
+    )
+    np.testing.assert_allclose(poseB_dec, poseB, atol=1e-5)
