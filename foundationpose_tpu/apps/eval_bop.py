@@ -37,7 +37,11 @@ def build_parser():
 
 def evaluate_scene(reader, ob_id, mode="geometric", weights=None, track=False,
                    max_frames=None, stride=1, est_refine_iter=5,
-                   track_refine_iter=2):
+                   track_refine_iter=2, estimator_config=None,
+                   geometric_config=None):
+    """``estimator_config`` / ``geometric_config``: optional overrides for the
+    engine configuration (tests and small scenes use reduced hypothesis grids
+    and crop sizes; None = the full defaults)."""
     from foundationpose_tpu.core import metrics
     from foundationpose_tpu.engine.estimator import EstimatorConfig, FoundationPoseTPU
 
@@ -49,17 +53,20 @@ def evaluate_scene(reader, ob_id, mode="geometric", weights=None, track=False,
             GeometricConfig, GeometricRefiner, GeometricScorer,
         )
 
-        cfg = EstimatorConfig(
+        cfg = estimator_config or EstimatorConfig(
             register_iterations=max(est_refine_iter * 2, 10),
             final_refine_iterations=8,
         )
+        gcfg = geometric_config or GeometricConfig()
         est = FoundationPoseTPU(
             mesh, symmetry_tfs=symmetry_tfs, config=cfg,
-            refiner=GeometricRefiner(GeometricConfig()),
-            scorer=GeometricScorer(GeometricConfig()),
+            refiner=GeometricRefiner(gcfg),
+            scorer=GeometricScorer(gcfg),
         )
     else:
-        cfg = EstimatorConfig(register_iterations=est_refine_iter)
+        cfg = estimator_config or EstimatorConfig(
+            register_iterations=est_refine_iter
+        )
         est = FoundationPoseTPU(mesh, symmetry_tfs=symmetry_tfs, config=cfg)
         if weights:
             from foundationpose_tpu.models.weights import load_engine_params

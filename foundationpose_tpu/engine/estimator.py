@@ -320,10 +320,13 @@ class FoundationPoseTPU:
             order = jnp.argsort(-scores)
             refined = refined[order]
             scores = scores[order]
-            # one packed download: poses | scores | center | n_valid
+            # one packed download: poses | scores | order | center | n_valid
+            # (order maps ranked slots back to rotation-grid indices so the
+            # debug replay can reconstruct each winner's initial hypothesis)
             packed = jnp.concatenate([
                 refined.reshape(-1),
                 scores.reshape(-1),
+                order.astype(jnp.float32).reshape(-1),
                 center.reshape(-1),
                 jnp.asarray(n_valid, jnp.float32).reshape(1),
             ])
@@ -411,7 +414,8 @@ class FoundationPoseTPU:
         )
         refined = packed[: n * 16].reshape(n, 4, 4).astype(np.float64)
         scores = packed[n * 16 : n * 17]
-        center = packed[n * 17 : n * 17 + 3]
+        order = packed[n * 17 : n * 18].astype(np.int64)
+        center = packed[n * 18 : n * 18 + 3]
         n_valid = int(packed[-1])
 
         if n_valid < 4:
@@ -425,17 +429,44 @@ class FoundationPoseTPU:
         n_orig = len(self.rot_grid)
         self.poses = refined[:n_orig]
         self.scores = scores[:n_orig]
+        self.hyp_order = order[:n_orig]  # ranked slot -> rotation-grid index
+        self._last_center = center
+        self._last_iteration = int(iteration)
         self.pose_last = self.poses[0]
         best = self.poses[0] @ self.get_tf_to_centered_mesh()
         if self.cfg.debug >= 1:
-            self._dump_register_debug(K, rgb, best)
+            self._dump_register_debug(K, rgb, depth, best)
         return best
 
-    def _dump_register_debug(self, K, rgb, best_pose):
+    def _render_observe_strip(self, K, rgb, poses, scores=None, size=160):
+        """[render | observed] comparison canvas for a set of poses (the
+        reference's refine/score canvas layout, predict_pose_refine.py:241-293,
+        predict_score.py:27-52)."""
+        from foundationpose_tpu.utils import vis as vis_mod
+
+        poses_j = jnp.asarray(poses, jnp.float32)
+        K_j = jnp.asarray(K, jnp.float32)
+        tfs = geo.compute_crop_window_tf_batch(
+            poses_j, K_j, self.refiner.cfg.crop_ratio, float(self.diameter),
+            (size, size),
+        )
+        out = raster.render_crops(
+            self.mesh_tensors, poses_j, K_j, tfs, out_hw=(size, size)
+        )
+        observed = imops.warp_crop_affine(
+            jnp.asarray(rgb, jnp.float32), tfs, (size, size), mode="bilinear"
+        ) / 255.0
+        return vis_mod.make_comparison_strip(
+            np.asarray(out["rgb"]), np.asarray(observed), scores=scores
+        )
+
+    def _dump_register_debug(self, K, rgb, depth, best_pose):
         """Visual-debug artifacts gated by debug level (reference
         estimater.py:176-221, predict_score.py:27-52): level >=1 saves the
-        posed box/axis overlay; level >=2 adds a render-vs-real canvas of
-        the top-scoring hypotheses."""
+        posed box/axis overlay; level >=2 adds a render|observed comparison
+        canvas of the top-scoring hypotheses; level >=3 replays the top
+        hypotheses' refinement and dumps one canvas per iteration
+        (predict_pose_refine.py:241-293 semantics)."""
         import os
 
         from foundationpose_tpu.utils import vis as vis_mod
@@ -447,28 +478,35 @@ class FoundationPoseTPU:
             img, best_pose, scale=float(self.diameter) / 2, K=K
         )
         self._imwrite(os.path.join(self.cfg.debug_dir, "vis_register.png"), img)
+        k = min(5, len(self.poses))
         if self.cfg.debug >= 2:
-            k = min(5, len(self.poses))
-            out = raster.render_crops(
-                self.mesh_tensors,
-                jnp.asarray(self.poses[:k], jnp.float32),
-                jnp.asarray(K, jnp.float32),
-                geo.compute_crop_window_tf_batch(
-                    jnp.asarray(self.poses[:k], jnp.float32),
-                    jnp.asarray(K, jnp.float32),
-                    self.refiner.cfg.crop_ratio, float(self.diameter),
-                    (160, 160),
-                ),
-                out_hw=(160, 160),
+            canvas = self._render_observe_strip(
+                K, rgb, self.poses[:k], scores=self.scores[:k]
             )
-            tiles = [
-                (np.asarray(out["rgb"][i]) * 255).astype(np.uint8)
-                for i in range(k)
-            ]
-            canvas = vis_mod.make_grid_image(tiles, nrow=k)
             self._imwrite(
                 os.path.join(self.cfg.debug_dir, "vis_score_top.png"), canvas
             )
+        if self.cfg.debug >= 3:
+            # replay the winners' refinement trajectory iteration by
+            # iteration from their initial grid hypotheses
+            _, xyz_map = self._preprocess(depth, K)
+            hyp = self.rot_grid[self.hyp_order[:k]].copy()
+            hyp[:, :3, 3] = self._last_center[None]
+            poses_it = hyp
+            for it in range(self._last_iteration):
+                poses_it = np.asarray(self.refiner.predict(
+                    self.mesh_tensors, np.asarray(rgb, np.float32),
+                    np.asarray(xyz_map), K,
+                    poses_it.astype(np.float32), float(self.diameter),
+                    iteration=1,
+                ))
+                canvas = self._render_observe_strip(K, rgb, poses_it)
+                self._imwrite(
+                    os.path.join(
+                        self.cfg.debug_dir, f"vis_refine_iter_{it:02d}.png"
+                    ),
+                    canvas,
+                )
 
     @staticmethod
     def _imwrite(path, img):

@@ -90,6 +90,14 @@ class FieldConfig:
     rays_valid_depth_only: bool = True
     mesh_resolution: float = 0.003  # meters
     seed: int = 0
+    # periodic artifact hooks (reference i_weights/i_img/i_mesh semantics,
+    # nerf_runner.py:594-681 + config_ycbv.yml:35-41): every N steps dump a
+    # checkpoint / rendered frame / extracted mesh under ``save_dir``.
+    # 0 disables a hook; save_dir=None disables all three.
+    i_weights: int = 0
+    i_img: int = 0
+    i_mesh: int = 0
+    save_dir: str | None = None
 
 
 class NeRFRunnerTPU:
@@ -112,6 +120,7 @@ class NeRFRunnerTPU:
         self.H, self.W = depths.shape[1:3]
         self.num_frames = len(rgbs)
         self.global_step = 0
+        self.last_aux = {}  # loss-term dict from the last synced train step
 
         self.occ_grid = jnp.asarray(
             sampling.build_occupancy_grid(
@@ -307,7 +316,11 @@ class NeRFRunnerTPU:
                 loss = loss + cfg.pose_reg_weight * jnp.linalg.norm(
                     params["params"]["pose_array"][1:]
                 )
+            # the full loss-term dict (reference logs its 14-metric dict
+            # every i_print, nerf_runner.py:623-651; terms that are disabled
+            # by config are omitted — static under jit)
             aux = {
+                "loss": loss,
                 "rgb_loss": rgb_loss, "fs_loss": fs, "sdf_loss": sdf_l,
                 "empty_loss": empty,
                 "valid_rays": valid_rays.sum(), "valid_samples": valid.sum(),
@@ -341,7 +354,7 @@ class NeRFRunnerTPU:
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, key, loss
+            return params, opt_state, key, loss, aux
 
         self._train_step_sampled = train_step_sampled
         return train_step
@@ -350,20 +363,64 @@ class NeRFRunnerTPU:
     def train(self, n_step=None, log_every=100):
         n_step = n_step or self.cfg.n_step
         last_loss = 0.0
-        loss = None
+        loss = aux = None
         for it in range(n_step):
-            self.params, self.opt_state, self._rng, loss = (
+            self.params, self.opt_state, self._rng, loss, aux = (
                 self._train_step_sampled(
                     self.params, self.opt_state, self._rng, self.rays
                 )
             )
             self.global_step += 1
             if it % log_every == 0:
-                last_loss = float(loss)  # sync point
-                logging.info("step %d loss=%.4f", self.global_step - 1, last_loss)
+                # sync point: pull the whole loss-term dict, not just the total
+                self.last_aux = {k: float(v) for k, v in aux.items()}
+                last_loss = self.last_aux["loss"]
+                logging.info(
+                    "step %d %s", self.global_step - 1,
+                    " ".join(f"{k}={v:.4f}" for k, v in self.last_aux.items()),
+                )
+            self._artifact_hooks()
         if loss is not None:
             last_loss = float(loss)
+            self.last_aux = {k: float(v) for k, v in aux.items()}
         return last_loss
+
+    def _artifact_hooks(self):
+        """Periodic checkpoint / rendered-frame / mesh dumps (reference
+        nerf_runner.py:594-681 i_weights/i_img/i_mesh), gated by config."""
+        cfg = self.cfg
+        if not cfg.save_dir:
+            return
+        step = self.global_step
+        import os
+
+        if cfg.i_weights and step % cfg.i_weights == 0:
+            os.makedirs(os.path.join(cfg.save_dir, "ckpt"), exist_ok=True)
+            self.save(os.path.join(cfg.save_dir, "ckpt", "model_latest.npz"))
+        if cfg.i_img and step % cfg.i_img == 0:
+            os.makedirs(os.path.join(cfg.save_dir, "image_step"), exist_ok=True)
+            rgb_img, _ = self.render_frame(0, stride=4)
+            img = np.clip(np.asarray(rgb_img) * 255, 0, 255).astype(np.uint8)
+            try:
+                from PIL import Image
+
+                Image.fromarray(img).save(
+                    os.path.join(cfg.save_dir, "image_step", f"step_{step:07d}.png")
+                )
+            except Exception as e:  # artifact path must never break training
+                logging.warning("i_img dump failed: %s", e)
+        if cfg.i_mesh and step % cfg.i_mesh == 0:
+            os.makedirs(os.path.join(cfg.save_dir, "mesh_step"), exist_ok=True)
+            try:
+                from foundationpose_tpu.core import meshio as meshio_mod
+
+                mesh = self.extract_mesh()
+                meshio_mod.save_obj(
+                    os.path.join(cfg.save_dir, "mesh_step", f"step_{step:07d}.obj"),
+                    mesh,
+                )
+            except Exception as e:
+                logging.warning("i_mesh dump failed: %s", e)
 
     # ------------------------------------------------------------------
     def sdf_fn(self, pts):

@@ -103,6 +103,77 @@ class PairH5Dataset:
         self.f.close()
 
 
+class PrefetchLoader:
+    """Double-buffered host data pipeline: worker threads read random batches
+    ahead of the train loop into a bounded queue, so the device step never
+    waits on HDF5 I/O (the reference trains with a 20-worker torch DataLoader,
+    training_config.py:44-45; on TPU the host loop only needs enough lead to
+    hide one read, so a small thread pool + queue is the idiomatic analog).
+
+    Each worker opens its OWN file handle (h5py handles are not safe for
+    concurrent reads). Iterate forever; call ``close()`` (or use as a context
+    manager) to stop the workers.
+    """
+
+    def __init__(self, path, batch_size, n_workers=2, prefetch=4, seed=0):
+        import queue
+        import threading
+
+        self.path = path
+        self.batch_size = batch_size
+        self._q = queue.Queue(maxsize=max(2, prefetch))
+        self._stop = threading.Event()
+        self._workers = []
+        for i in range(max(1, n_workers)):
+            t = threading.Thread(
+                target=self._worker, args=(i, seed + i), daemon=True
+            )
+            t.start()
+            self._workers.append(t)
+
+    def _worker(self, idx, seed):
+        import queue
+
+        ds = PairH5Dataset(self.path)
+        rng = np.random.default_rng(seed)
+        try:
+            while not self._stop.is_set():
+                batch = ds.sample_batch(rng, self.batch_size)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        finally:
+            ds.close()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
+        return self._q.get()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        self._stop.set()
+        # unblock any worker waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        for t in self._workers:
+            t.join(timeout=2.0)
+
+
 def generate_dataset(path, mesh, K, n_batches=50, batch=32, input_size=160,
                      seed=0, with_scores=False):
     """Render a training archive with models.datagen."""

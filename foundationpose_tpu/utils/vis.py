@@ -111,3 +111,31 @@ def make_grid_image(imgs, nrow, padding=5, pad_value=255):
     for r in rows[1:]:
         grid = np.concatenate([grid, padr, r], axis=0)
     return grid
+
+
+def make_comparison_strip(rendered, observed, scores=None, pad=2):
+    """Side-by-side [render | observed] comparison rows, one per hypothesis —
+    the canvas layout of the reference's refine/score debug dumps
+    (predict_pose_refine.py:241-293, predict_score.py:27-52).
+
+    rendered/observed: (N,H,W,3) float in [0,1]. Returns one uint8 canvas
+    with hypothesis i on row i; ``scores`` annotates each row when cv2 is
+    available."""
+    rows = []
+    for i in range(len(rendered)):
+        r = (np.clip(np.asarray(rendered[i]), 0, 1) * 255).astype(np.uint8)
+        o = (np.clip(np.asarray(observed[i]), 0, 1) * 255).astype(np.uint8)
+        gap = np.full((r.shape[0], pad, 3), 255, np.uint8)
+        row = np.concatenate([r, gap, o], axis=1)
+        if scores is not None:
+            try:
+                import cv2
+
+                cv2.putText(
+                    row, f"{float(scores[i]):.2f}", (2, 12),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.35, (0, 255, 0), 1,
+                )
+            except Exception:
+                pass
+        rows.append(row)
+    return make_grid_image(rows, nrow=1)

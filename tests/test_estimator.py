@@ -258,7 +258,7 @@ def test_register_debug_artifacts(tmp_path):
     gcfg = GeometricConfig(input_size=64)
     cfg = EstimatorConfig(
         min_n_views=12, inplane_step=120, register_iterations=4,
-        debug=2, debug_dir=str(tmp_path),
+        debug=3, debug_dir=str(tmp_path),
     )
     est = FoundationPoseTPU(
         mesh, config=cfg,
@@ -267,3 +267,12 @@ def test_register_debug_artifacts(tmp_path):
     est.register(K, rgb, depth, mask)
     assert os.path.exists(tmp_path / "vis_register.png")
     assert os.path.exists(tmp_path / "vis_score_top.png")
+    # debug>=2 canvas is the [render | observed] comparison strip: twice as
+    # wide as tall per row (plus padding)
+    from PIL import Image
+
+    c = np.asarray(Image.open(tmp_path / "vis_score_top.png"))
+    assert c.shape[1] > 2 * 160
+    # debug>=3 replays refinement: one canvas per iteration
+    for it in range(4):
+        assert os.path.exists(tmp_path / f"vis_refine_iter_{it:02d}.png")

@@ -246,3 +246,42 @@ def test_triplane_custom_vjp_matches_autodiff():
     for a, b in zip(gc[0], ga[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]), atol=1e-3)
+
+
+def test_train_observability_and_artifact_hooks(tmp_path):
+    """Aux loss-term dict is surfaced at log points, and the i_weights /
+    i_img / i_mesh hooks leave the reference-style artifact trail
+    (nerf_runner.py:594-681) under save_dir."""
+    import os
+
+    K, cams, rgbs, depths, masks = _sphere_scene(n_views=3, H=30, W=40)
+    translation, sc_factor, cluster = bounds_mod.compute_scene_bounds(
+        depths, masks, K, cams, voxel=0.05
+    )
+    rgbs_n, depths_n, masks_n, poses_n = bounds_mod.preprocess_data(
+        rgbs, depths, masks, cams, sc_factor, translation
+    )
+    occ_pts = (cluster + translation) * sc_factor
+    cfg = FieldConfig(
+        n_step=6, n_rand=128, n_samples=8, n_samples_around_depth=8,
+        num_levels=2, log2_hashmap_size=10, base_res=4, finest_res=8,
+        triplane_resolutions=(4, 8), triplane_channels=2,
+        occ_resolution=8, mask_dilate_first=0, mask_dilate=0,
+        mesh_resolution=0.15,
+        i_weights=3, i_img=3, i_mesh=6, save_dir=str(tmp_path),
+    )
+    runner = NeRFRunnerTPU(
+        cfg, rgbs_n, depths_n, masks_n, poses_n, K, occ_pts, sc_factor, translation
+    )
+    runner.train(n_step=6, log_every=2)
+
+    for key in ("loss", "rgb_loss", "fs_loss", "sdf_loss", "empty_loss",
+                "valid_rays", "valid_samples"):
+        assert key in runner.last_aux, runner.last_aux
+        assert np.isfinite(runner.last_aux[key])
+
+    assert os.path.exists(tmp_path / "ckpt" / "model_latest.npz")
+    imgs = os.listdir(tmp_path / "image_step")
+    assert any(f.endswith(".png") for f in imgs), imgs
+    meshes = os.listdir(tmp_path / "mesh_step")
+    assert any(f.endswith(".obj") for f in meshes), meshes

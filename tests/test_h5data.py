@@ -40,3 +40,30 @@ def test_generate_dataset(tmp_path):
     assert (b["adds"] >= 0).all()
     assert np.abs(b["A"]).sum() > 0
     ds.close()
+
+
+def test_prefetch_loader(tmp_path):
+    """PrefetchLoader: background workers keep a queue of valid batches and
+    shut down cleanly."""
+    import time
+
+    from foundationpose_tpu.core import meshio
+    from foundationpose_tpu.models.h5data import PrefetchLoader, generate_dataset
+
+    K = np.array([[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1]])
+    mesh = meshio.make_box((0.08, 0.1, 0.06))
+    mesh.vertex_colors = np.random.default_rng(0).integers(
+        50, 220, (8, 3)
+    ).astype(np.uint8)
+    path = str(tmp_path / "pairs.h5")
+    generate_dataset(path, mesh, K, n_batches=3, batch=4, input_size=32)
+
+    with PrefetchLoader(path, batch_size=4, n_workers=2, prefetch=3, seed=0) as ld:
+        batches = [next(ld) for _ in range(5)]
+    for b in batches:
+        assert b["A"].shape == (4, 32, 32, 6)
+        assert b["A"].dtype == np.float32
+        assert np.isfinite(b["trans_gt"]).all()
+    # workers stopped: queue drains and no new batches appear
+    time.sleep(0.3)
+    assert all(not t.is_alive() for t in ld._workers)
