@@ -104,6 +104,19 @@ def main():
         est_f.register(K, rgb, depth, mask)
     register_funnel_s = (time.perf_counter() - t0) / n_rep
 
+    # ---- per-stage breakdown + MFU (the "speed-of-light" accounting) ----
+    # Times each pipeline stage as its own jitted program on the same scene:
+    # raster+crop (one refine iteration's render work over all hypotheses),
+    # RefineNet forward, ScoreNet forward, and the 1-hypothesis track stage.
+    # MFU uses XLA's own cost analysis for the net FLOPs against the chip's
+    # bf16 peak, so "how far from speed-of-light" is a number, not a claim.
+    stage_ms, mfu = _bench_stages(est, K, rgb, depth, n_hyp)
+    if "register_useful_flops" in mfu:
+        mfu["register_e2e"] = round(
+            mfu.pop("register_useful_flops") / register_s / mfu.pop("peak_flops"),
+            4,
+        )
+
     # neural-field training throughput (rays/s at the reference's 2048-ray,
     # 256-samples-per-ray budget)
     field_rays_per_s = _bench_field()
@@ -124,10 +137,92 @@ def main():
                 "field_rays_per_s": round(field_rays_per_s, 0),
                 "n_hypotheses": int(n_hyp),
                 "compile_s": round(compile_s, 1),
+                "stage_ms": stage_ms,
+                "mfu": mfu,
                 "device": str(dev),
             }
         )
     )
+
+
+def _bench_stages(est, K, rgb, depth, n_hyp, n_rep=5):
+    """Per-stage wall times (ms) + net MFU on the register scene.
+
+    Stages are the units of FoundationPose.register's hot loop (SURVEY.md
+    3.2): raster+crop batch construction, RefineNet forward over all
+    hypotheses, ScoreNet forward, plus the 1-hypothesis track slice. Each is
+    compiled standalone, so (stage sums) vs (fused program time) exposes
+    dispatch/fusion overhead rather than hiding it."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from foundationpose_tpu.core import geometry as geo
+    from foundationpose_tpu.engine.crop import make_crop_batch
+
+    K_j = jnp.asarray(K, jnp.float32)
+    rgb_j = jnp.asarray(rgb, jnp.float32)
+    depth_j = jnp.asarray(depth, jnp.float32)
+    xyz_map = jax.jit(geo.depth2xyzmap)(depth_j, K_j)
+    diameter = float(est.diameter)
+    poses = jnp.asarray(
+        np.tile(np.eye(4, dtype=np.float32)[None], (n_hyp, 1, 1))
+    )
+    poses = poses.at[:, 2, 3].set(0.6)
+    S = est.refiner.cfg.input_size
+
+    crop_fn = jax.jit(
+        lambda p: make_crop_batch(
+            est.mesh_tensors, p, K_j, rgb_j, xyz_map, diameter,
+            out_size=S, use_pallas=bool(est.refiner.cfg.use_pallas),
+            backface_cull=est.refiner.cfg.backface_cull,
+        )["inputA"]
+    )
+
+    def timeit(fn, *args):
+        jax.block_until_ready(fn(*args))  # compile
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_rep * 1e3
+
+    stage = {}
+    stage["raster_crop_all"] = timeit(crop_fn, poses)
+    stage["raster_crop_1"] = timeit(crop_fn, poses[:1])
+
+    data = crop_fn(poses)
+    A = jnp.asarray(data)
+    refine_fwd = jax.jit(lambda a, b: est.refiner.net.apply(est.refiner.params, a, b)["trans"])
+    stage["refine_net_all"] = timeit(refine_fwd, A, A)
+    stage["refine_net_1"] = timeit(refine_fwd, A[:1], A[:1])
+    score_fwd = jax.jit(
+        lambda a, b: est.scorer.net.apply(est.scorer.params, a, b, n_hyp)["score_logit"]
+    )
+    stage["score_net_all"] = timeit(score_fwd, A, A)
+
+    # MFU: XLA cost-analysis FLOPs of the net forwards / measured time,
+    # against the chip's bf16 peak (v5e ~197 TFLOP/s; v5p ~459)
+    peak = 197e12 if "v5 lite" in str(jax.devices()[0]).lower() else 275e12
+    mfu = {}
+    try:
+        fl_r = refine_fwd.lower(A, A).compile().cost_analysis()["flops"]
+        fl_s = score_fwd.lower(A, A).compile().cost_analysis()["flops"]
+        mfu["refine_net"] = round(
+            float(fl_r) / (stage["refine_net_all"] / 1e3) / peak, 4
+        )
+        mfu["score_net"] = round(
+            float(fl_s) / (stage["score_net_all"] / 1e3) / peak, 4
+        )
+        # useful net FLOPs of one full register (5 refine iterations + one
+        # scorer pass); main() divides by the measured register time for the
+        # end-to-end MFU figure
+        mfu["register_useful_flops"] = 5 * float(fl_r) + float(fl_s)
+        mfu["peak_flops"] = peak
+    except Exception as e:
+        mfu["error"] = str(e)
+    return {k: round(v, 2) for k, v in stage.items()}, mfu
 
 
 def _bench_field():

@@ -28,6 +28,10 @@ class ScorerConfig:
     c_in: int = 6
     norm: str | None = None
     dtype: str = "bfloat16"
+    # residual attention wrappers for synthetically-trained nets (see
+    # ScoreNetMultiPair.residual_attn); False = exact reference forward for
+    # imported checkpoints
+    residual_attn: bool = False
     # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
     use_pallas: bool | None = None
     # exact for closed CCW meshes; the estimator auto-enables it when the
@@ -46,6 +50,7 @@ class PoseScorer:
             c_in=config.c_in,
             norm=config.norm,
             dtype=jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32,
+            residual_attn=config.residual_attn,
         )
         if params is None:
             dummy = jnp.zeros((2, config.input_size, config.input_size, config.c_in))

@@ -147,10 +147,15 @@ def make_score_batch(
 
 
 def train_scorer_synthetic(mesh, K, steps=200, n_hyp=8, input_size=64,
-                           seed=0, lr=1e-4, log_every=50):
+                           seed=0, lr=1e-3, log_every=50, norm="group",
+                           loss_mode="listwise"):
     """Small end-to-end training driver: ScoreNetMultiPair on on-the-fly
-    synthetic hypothesis sets ranked by ADD (the 'pairwise_valid' supervision
-    of training_config.py:51). Returns (net, params, losses)."""
+    synthetic hypothesis sets ranked by ADD (the supervision surface of
+    training_config.py:51; the reference trainer itself is absent).
+    ``norm="group"`` by default: training the norm-free inference
+    architecture from scratch collapses (the deep conv stack's pooled
+    features barely separate hypotheses at init); checkpoint IMPORT still
+    uses the norm-free net with folded BN. Returns (net, params, losses)."""
     import logging
 
     import optax
@@ -165,13 +170,19 @@ def train_scorer_synthetic(mesh, K, steps=200, n_hyp=8, input_size=64,
     diameter = meshio.compute_mesh_diameter(mesh=centered)
     model_pts = jnp.asarray(centered.vertices, jnp.float32)
 
-    net = ScoreNetMultiPair(c_in=6, dtype=jnp.float32)
+    net = ScoreNetMultiPair(c_in=6, dtype=jnp.float32, norm=norm,
+                            residual_attn=True)
     dummy = jnp.zeros((2, input_size, input_size, 6))
     params = net.init(jax.random.PRNGKey(seed), dummy, dummy, 2)
-    tx = optax.adam(lr)
+    # validated from-scratch recipe: warmup -> cosine decay + gradient clip
+    # (a flat adam at this depth is NaN-prone early and plateau-prone late)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(300, max(steps // 10, 1)), steps, lr * 0.05
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(seed + 1)
-    losses = []
+    losses = []  # device arrays; synced only at log points + the end
     for it in range(steps):
         key, kb = jax.random.split(key)
         data = make_score_batch(
@@ -181,11 +192,12 @@ def train_scorer_synthetic(mesh, K, steps=200, n_hyp=8, input_size=64,
         params, opt_state, loss = training.scorer_train_step(
             net, tx, params, opt_state,
             {"A": data["A"], "B": data["B"], "adds": data["adds"]},
+            mode=loss_mode,
         )
-        losses.append(float(loss))
+        losses.append(loss)
         if it % log_every == 0:
-            logging.info("scorer train step %d loss %.5f", it, losses[-1])
-    return net, params, losses
+            logging.info("scorer train step %d loss %.5f", it, float(loss))
+    return net, params, [float(l) for l in losses]
 
 
 def train_refiner_synthetic(mesh, K, steps=200, batch=16, input_size=64,
@@ -225,7 +237,7 @@ def train_refiner_synthetic(mesh, K, steps=200, batch=16, input_size=64,
         params, opt_state, loss = training.refiner_train_step(
             net, tx, params, opt_state, batch_t, mesh_diameter=float(diameter)
         )
-        losses.append(float(loss))
+        losses.append(loss)  # device array; sync only at log points + end
         if it % log_every == 0:
-            logging.info("refiner train step %d loss %.5f", it, losses[-1])
-    return net, params, losses
+            logging.info("refiner train step %d loss %.5f", it, float(loss))
+    return net, params, [float(l) for l in losses]

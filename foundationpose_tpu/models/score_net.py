@@ -26,6 +26,14 @@ class ScoreNetMultiPair(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # see RefineNet.pos_grid_mode
     pos_grid_mode: str = "regrid"
+    # The reference applies its attentions WITHOUT residual connections
+    # (score_network.py:73,90: `x, _ = att(x,x,x)`). Near init the attention
+    # is ~uniform, so the cross-pose layer outputs the AVERAGE over the L
+    # hypotheses — per-hypothesis signal is second-order and from-scratch
+    # training collapses onto the rank-loss saddle. residual_attn=True wraps
+    # both attentions with x + att(x) for trainability; keep False (exact
+    # reference forward) when loading imported checkpoints.
+    residual_attn: bool = False
 
     @nn.compact
     def __call__(self, A, B, L):
@@ -44,8 +52,10 @@ class ScoreNetMultiPair(nn.Module):
             grid_hw=grid_hw if self.pos_grid_mode == "regrid" else None,
             train_hw=(20, 20),
         )
-        tokens = MultiheadSelfAttention(512, 4, self.dtype, name="att")(tokens)
+        att = MultiheadSelfAttention(512, 4, self.dtype, name="att")(tokens)
+        tokens = tokens + att if self.residual_attn else att
         feats = tokens.mean(axis=1).reshape(bs // L, L, -1)  # (B,L,512)
-        feats = MultiheadSelfAttention(512, 4, self.dtype, name="att_cross")(feats)
+        cross = MultiheadSelfAttention(512, 4, self.dtype, name="att_cross")(feats)
+        feats = feats + cross if self.residual_attn else cross
         logit = nn.Dense(1, dtype=self.dtype, name="linear")(feats)
         return {"score_logit": logit[..., 0].astype(jnp.float32)}

