@@ -75,9 +75,13 @@ class FieldConfig:
     finest_res: int = 512
     feature_grid_dim: int = 2
     # positional encoder: "triplane" = TPU-native matmul-only encoder (see
-    # field/encoders.py — ~100x faster per step than the hash grid on TPU,
-    # whose gather/scatter XLA lowering serializes); "hash" = reference-
-    # parity instant-ngp grid
+    # field/encoders.py); "hash" = reference-parity instant-ngp grid, whose
+    # gather/scatter XLA lowering serializes on TPU. Measured head-to-head on
+    # the same synthetic scene (scripts/bench_encoders.py, v5e, 1500 steps):
+    # triplane 486k rays/s vs hash 46k (10.5x), surface error 40.9 vs
+    # 39.8 mm (2.7% apart, both floor-limited by mesh_resolution), SDF sign
+    # correctness 1.0 for both, pose drift 11.7 vs 9.2 mm — quality parity
+    # at an order of magnitude more throughput
     encoder: str = "triplane"
     triplane_resolutions: tuple = (16, 32, 64, 128)
     triplane_channels: int = 4

@@ -15,8 +15,11 @@ Usage: python scripts/bench_encoders.py [n_step]
 Prints one JSON line per encoder.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
