@@ -5,11 +5,14 @@ tests and for paths that need tri/bary outputs), restructured so the
 pixel x face work never leaves VMEM and the inner loop touches each
 pixel x face pair with the minimum possible VPU work:
 
-- grid (pose, pixel-tile); per-pose face tables are VMEM-resident blocks;
+- grid: ONE cell per pose (a (pose, band) grid was measured slower — Mosaic
+  per-cell overhead on 20k tiny cells); the kernel loops over 2-row pixel
+  bands internally with per-band chunk ranges from SMEM, deriving pixel
+  coordinates from iota; per-pose face tables are VMEM-resident blocks;
 - faces are SORTED by their crop-space y-extent at prep time (invalid /
-  culled faces to the end), so the per-(tile, face-chunk) overlap range
-  actually culls: each 128-face chunk spans a narrow row band and most
-  chunks are skipped for most tiles;
+  culled faces to the end), so the per-(band, face-chunk) overlap range
+  actually culls, and bands overlapping no face skip all work and write
+  zeros;
 - the chunk loop carries only per-LANE running bests (score + chunk id) —
   no cross-lane reductions or attribute selection inside the loop;
 - after the loop, one cross-lane argmax finds each pixel's winning face and
@@ -65,16 +68,21 @@ FC = 128     # face chunk (lane dimension of the chunk loop)
 
 
 def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
-                        out_dtype=jnp.float32):
+                        out_dtype=jnp.float32, W=160, tile_rows=2, n_tiles=80):
     """Kernel factory. ``A``: per-corner attribute width; ``T``: fetch-table
     row width; ``compact``: 8-wide output with in-kernel lighting;
     ``out_dtype``: bfloat16 halves the output DMA (the values are already
-    bf16-quantized by the fetch table, so the extra rounding is ~1 ulp)."""
+    bf16-quantized by the fetch table, so the extra rounding is ~1 ulp).
 
-    def kernel(pix_ref, coeff_ref, table_ref, ranges_ref, out_ref):
-        """One (pose, pixel-tile) cell.
+    Grid layout: ONE cell per pose; the kernel loops over the ``n_tiles``
+    row bands internally. A (pose, band) grid was measured 3-4x slower at
+    these sizes — Mosaic's per-cell overhead on 20k tiny cells dwarfed the
+    arithmetic — and pixel coordinates are derived from iota per band, so
+    the kernel needs no pixel-coordinate input at all."""
 
-        pix_ref:    (Pt, 3)            pixel homogeneous coords
+    def kernel(coeff_ref, table_ref, ranges_ref, out_ref):
+        """One pose.
+
         coeff_ref:  (1, 9, F)          rows 0-2/3-5: affine coeffs [a,b,c] of
                                        barycentrics w0/w1 (w2 = 1 - w0 - w1:
                                        the coeffs are det-normalized so they
@@ -83,27 +91,62 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
                                        (1/z is affine in pixel coords, so the
                                        z-test needs no per-corner invz at all)
         table_ref:  (1, F, T)          bf16-quantized fetch rows (sorted order)
-        ranges_ref: (1, Tn, 2) SMEM    [lo, hi) face-chunk range for this tile
+        ranges_ref: (1, Tn, 2) SMEM    [lo, hi) face-chunk range per band
                                        (faces are y-sorted, so the overlapping
                                        chunks are a contiguous run — dynamic
                                        loop bounds replace a per-chunk
                                        lax.cond, which costs ~0.4 us per chunk
-                                       per cell)
-        out_ref:    (1, Pt, A_OUT)     interpolated attrs
+                                       per band)
+        out_ref:    (1, Pp, A_OUT)     interpolated attrs, written band by band
         """
-        tile = pl.program_id(1)
-        c_lo = ranges_ref[0, tile, 0]
-        c_hi = ranges_ref[0, tile, 1]
+        # static per-band pixel pattern: pixel i of a band is at
+        # (x = i % W, y = band*tile_rows + i // W)
+        flat = jax.lax.broadcasted_iota(jnp.int32, (Pt, 1), 0)
+        px0 = jnp.mod(flat, W).astype(jnp.float32)
+        py0 = (flat // W).astype(jnp.float32)
 
-        px = pix_ref[:, 0:1]  # (Pt,1)
-        py = pix_ref[:, 1:2]
+        def band_body(tile, _):
+            f_lo = ranges_ref[0, tile, 0]
+            f_hi = ranges_ref[0, tile, 1]
+
+            # bands whose rows overlap no face write zeros and skip both
+            # passes + the interpolation epilogue entirely
+            @pl.when(f_hi <= f_lo)
+            def _():
+                out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.zeros(
+                    (Pt, A), out_dtype
+                )
+
+            @pl.when(f_hi > f_lo)
+            def _():
+                _raster_band(
+                    coeff_ref, table_ref, out_ref, tile, f_lo, f_hi,
+                    px0, py0 + tile.astype(jnp.float32) * float(tile_rows),
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, band_body, 0)
+
+    def _raster_band(coeff_ref, table_ref, out_ref, tile, f_lo, f_hi, px, py):
         # hoist the lane-broadcast of the pixel coords out of the chunk loop
         pxb = jnp.broadcast_to(px, (Pt, FC))
         pyb = jnp.broadcast_to(py, (Pt, FC))
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Pt, FC), 1)
         lane_rev = FC - 1 - lane_iota  # tie-break: prefer the LOWEST lane
 
-        # ---- pass 1: per-lane best (score, chunk) over the active run ----
+        # chunk windows: [f_lo, f_hi) in CHUNK units. (A face-granular
+        # variant with arbitrary dynamic window starts was tried and is
+        # impossible in this layout: Mosaic requires lane-dim slice starts to
+        # be provable multiples of 128, so windows must be chunk-aligned.)
+        n_win = f_hi - f_lo
+
+        def window(w):
+            c = f_lo + w
+            ws = c * FC  # provably 128-aligned: chunk index times FC
+            return ws, None
+
+        # ---- pass 1: per-lane best (score, window) over the face range ----
         # The score carry is an order-preserving int32 packing of the f32
         # score with the lane id in the low 7 mantissa bits: one cross-lane
         # int-max then recovers both the winner's score and its lane.
@@ -111,9 +154,10 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
         # three of them to one.) Clobbering 7 mantissa bits costs 2^-16
         # relative z-resolution — far below visible z-fighting. The plain
         # bitcast is order-preserving on the score domain {-1.0} u (0, inf).
-        def body(c, carry):
-            packed_best, best_chunk = carry
-            ds = pl.ds(c * FC, FC)
+        def body(w, carry):
+            packed_best, best_ws = carry
+            ws, _ = window(w)
+            ds = pl.ds(ws, FC)
             # exact-f32 barycentrics on the VPU (bary decides visibility and
             # sub-pixel interpolation; bf16 MXU passes cost ~1 cm depth error).
             # Only w0/w1 are evaluated; w2 falls out of partition-of-unity
@@ -132,15 +176,15 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
             ) | lane_rev
             improved = packed > packed_best
             packed_best = jnp.where(improved, packed, packed_best)
-            best_chunk = jnp.where(improved, jnp.float32(c), best_chunk)
-            return packed_best, best_chunk
+            best_ws = jnp.where(improved, ws.astype(jnp.float32), best_ws)
+            return packed_best, best_ws
 
         init = (
             # bitcast(-1.0) with lane bits: still negative, below any hit
             jnp.full((Pt, FC), np.float32(-1.0).view(np.int32), jnp.int32),
             jnp.zeros((Pt, FC), jnp.float32),
         )
-        packed_best, best_chunk = jax.lax.fori_loop(c_lo, c_hi, body, init)
+        packed_best, best_ws = jax.lax.fori_loop(0, n_win, body, init)
 
         # ---- winner extraction: ONE cross-lane reduction per pixel ----
         packed_top = jnp.max(packed_best, axis=-1, keepdims=True)  # (Pt,1)
@@ -148,10 +192,11 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
         win_lane = (FC - 1) - (packed_top & jnp.int32(FC - 1))  # (Pt,1)
         onehot_lane = (lane_iota == win_lane).astype(jnp.float32)
 
-        # ---- pass 2: fetch winner rows from active chunks via MXU ----
-        def body2(c, row):
-            ds = pl.ds(c * FC, FC)
-            sel = onehot_lane * (best_chunk == jnp.float32(c))  # (Pt,FC)
+        # ---- pass 2: fetch winner rows from active windows via MXU ----
+        def body2(w, row):
+            ws, _ = window(w)
+            ds = pl.ds(ws, FC)
+            sel = onehot_lane * (best_ws == ws.astype(jnp.float32))  # (Pt,FC)
             # one bf16 MXU pass: sel is exact 0/1 and the table rows are
             # already bf16-quantized, so the fetch reproduces them exactly;
             # a 6-pass HIGHEST fetch costs 6x the cycles
@@ -161,7 +206,7 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
                 preferred_element_type=jnp.float32,
             )
 
-        row = jax.lax.fori_loop(c_lo, c_hi, body2, jnp.zeros((Pt, T), jnp.float32))
+        row = jax.lax.fori_loop(0, n_win, body2, jnp.zeros((Pt, T), jnp.float32))
 
         # ---- perspective-correct interpolation from the winner's row ----
         hitf = hit.astype(jnp.float32)
@@ -182,7 +227,9 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
         interp = interp * hitf
         # stash the hit mask in padding column 11 (unused by the layout)
         mask_col = jax.lax.broadcasted_iota(jnp.int32, (Pt, A), 1) == 11
-        out_ref[0, :, :] = jnp.where(mask_col, hitf, interp).astype(out_dtype)
+        out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.where(
+            mask_col, hitf, interp
+        ).astype(out_dtype)
 
     return kernel
 
@@ -205,7 +252,10 @@ def render_crops_pallas(
     w_diffuse=0.5,
     light_dir=(0.0, 0.0, 1.0),
     interpret=False,
-    tile_rows=4,
+    # 2-row bands measured fastest at 160px crops (85 vs 98 ms @ tile_rows=4
+    # for 252 poses, v5e): the conservative contiguous chunk range stays
+    # tightest and per-pixel VPU work dominates, so smaller bands win
+    tile_rows=2,
     backface_cull=False,
     with_normal=True,
     out_bf16=False,
@@ -364,22 +414,17 @@ def render_crops_pallas(
         combined[:, :, 16 : 16 + T_DIM].astype(jnp.bfloat16).astype(jnp.float32)
     )  # (B, Fp, T_DIM): anchored coeffs | anchor | pad | attr3A
 
-    # ---- pixel grid: row bands of tile_rows rows ----
+    # ---- pixel grid: row bands of tile_rows rows (coords from iota
+    # in-kernel; no pixel-coordinate input) ----
     P = H * W
     Pt = tile_rows * W
     Hp = ((H + tile_rows - 1) // tile_rows) * tile_rows
     Pp = Hp * W
-    jj, ii = jnp.meshgrid(
-        jnp.arange(W, dtype=jnp.float32), jnp.arange(Hp, dtype=jnp.float32)
-    )
-    pix = jnp.stack(
-        [jj.reshape(-1), ii.reshape(-1), jnp.ones(Pp, jnp.float32)], axis=-1
-    )
     n_tiles = Pp // Pt
 
-    # chunk-vs-tile overlap: does any face in the chunk span this row band?
+    # chunk-vs-band overlap: does any face in the chunk span this row band?
     # Faces are y-sorted, so the overlapping chunks form (conservatively) a
-    # contiguous run — pass [lo, hi) loop bounds instead of a bitmap
+    # contiguous run — pass [lo, hi) chunk bounds instead of a bitmap
     C = Fp // FC
     cy_min = ymin.reshape(B, C, FC).min(axis=-1)  # (B,C)
     cy_max = ymax.reshape(B, C, FC).max(axis=-1)
@@ -398,20 +443,19 @@ def render_crops_pallas(
     out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
     kernel = _make_raster_kernel(
         Pt, A_DIM, T_DIM, False, use_light, float(w_ambient), float(w_diffuse),
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, W=W, tile_rows=tile_rows, n_tiles=n_tiles,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((Pt, 3), lambda b, t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, Fp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fp, T_DIM), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            # SMEM: per-tile chunk-range scalars feed the dynamic loop bounds
-            pl.BlockSpec((1, n_tiles, 2), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 9, Fp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp, T_DIM), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            # SMEM: per-band chunk-range scalars feed the dynamic loop bounds
+            pl.BlockSpec((1, n_tiles, 2), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Pt, A_OUT), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (1, Pp, A_OUT), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, Pp, A_OUT), out_dtype),
         interpret=interpret,
@@ -424,7 +468,7 @@ def render_crops_pallas(
                 )
             }
         ),
-    )(pix, coeffT, table, ranges)
+    )(coeffT, table, ranges)
 
     out = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
     t_b = poses[:, None, None, :3, 3]
