@@ -76,8 +76,10 @@ def main():
     # binary measures 20-57 fps across back-to-back repetitions (round-3
     # diagnosis). Run several reps and report best + median — best reflects
     # what the code path sustains on a quiet link, median the typical link.
+    t0 = time.perf_counter()
     est.track_one(rgb, depth, K)  # warmup/compile
-    n_track, n_rep_track = 30, 4
+    track_compile_s = time.perf_counter() - t0
+    n_track, n_rep_track = 30, 6
     lat_ms, fps_reps = [], []
     for _ in range(n_rep_track):
         t0 = time.perf_counter()
@@ -107,7 +109,9 @@ def main():
             funnel_coarse_size=112,
         ),
     )
+    t0 = time.perf_counter()
     est_f.register(K, rgb, depth, mask)  # compile
+    funnel_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n_rep):
         est_f.register(K, rgb, depth, mask)
@@ -147,6 +151,8 @@ def main():
                 "field_rays_per_s": round(field_rays_per_s, 0),
                 "n_hypotheses": int(n_hyp),
                 "compile_s": round(compile_s, 1),
+                "track_compile_s": round(track_compile_s, 1),
+                "funnel_compile_s": round(funnel_compile_s, 1),
                 "stage_ms": stage_ms,
                 "mfu": mfu,
                 "device": str(dev),

@@ -392,8 +392,12 @@ class FoundationPoseTPU:
     def register(self, K, rgb, depth, ob_mask, iteration=None):
         """Global registration. Returns (4,4) pose of the ORIGINAL
         (uncentered) mesh in camera (reference estimater.py:159-240)."""
+        from foundationpose_tpu.core import validate
+
         iteration = iteration or self.cfg.register_iterations
-        K = np.asarray(K, dtype=np.float64)
+        K = np.asarray(validate.check_intrinsics(K), dtype=np.float64)
+        rgb, depth = validate.check_rgbd(rgb, depth, name="register")
+        ob_mask = validate.check_mask(ob_mask, depth.shape, name="register")
         if self._register_fused is None:
             self._register_fused = self._make_register_fused()
 
@@ -577,8 +581,11 @@ class FoundationPoseTPU:
         trip of a remote-attached TPU."""
         if self._pose_last_dev is None and self._pose_last_np is None:
             raise RuntimeError("call register() before track_one()")
+        from foundationpose_tpu.core import validate
+
         iteration = iteration or self.cfg.track_iterations
-        K = np.asarray(K, dtype=np.float64)
+        K = np.asarray(validate.check_intrinsics(K), dtype=np.float64)
+        rgb, depth = validate.check_rgbd(rgb, depth, name="track_one")
         if self._track_fused is None:
             self._track_fused = self._make_track_fused()
         rgb_u8 = self._as_u8(rgb)
