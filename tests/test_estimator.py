@@ -19,6 +19,10 @@ from foundationpose_tpu.engine.geometric import (
 )
 from foundationpose_tpu.ops import raster
 
+# compile-heavy E2E register/track: >10 min on a small CPU host (fast on TPU); the quick
+# pyramid lives in the unit-test files
+pytestmark = pytest.mark.slow
+
 K = np.array([[250.0, 0, 80], [0, 250.0, 60], [0, 0, 1]])
 HW = (120, 160)
 

@@ -7,9 +7,14 @@ import os
 
 import cv2
 import numpy as np
+import pytest
 
 from foundationpose_tpu.core import geometry as geo, meshio
 from foundationpose_tpu.ops import raster
+
+# compile-heavy E2E video tracking: >10 min on a small CPU host (fast on TPU); the quick
+# pyramid lives in the unit-test files
+pytestmark = pytest.mark.slow
 
 K = np.array([[250.0, 0, 80], [0, 250.0, 60], [0, 0, 1]])
 HW = (120, 160)

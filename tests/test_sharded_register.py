@@ -9,6 +9,7 @@ reference chunks 252 hypotheses through sequential CUDA launches
 
 import jax
 import numpy as np
+import pytest
 
 from foundationpose_tpu.core import geometry as geo, meshio, metrics
 from foundationpose_tpu.engine.estimator import EstimatorConfig, FoundationPoseTPU
@@ -19,6 +20,10 @@ from foundationpose_tpu.engine.geometric import (
 )
 from foundationpose_tpu.ops import raster
 from foundationpose_tpu.parallel.mesh import make_device_mesh
+
+# compile-heavy 8-device SPMD register: >10 min on a small CPU host (fast on TPU); the quick
+# pyramid lives in the unit-test files
+pytestmark = pytest.mark.slow
 
 K = np.array([[250.0, 0, 80], [0, 250.0, 60], [0, 0, 1]])
 HW = (120, 160)

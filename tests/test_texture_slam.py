@@ -6,6 +6,10 @@ from foundationpose_tpu.core.icosphere import sample_views_icosphere
 from foundationpose_tpu.field.texture import bake_texture, unwrap_triangle_atlas
 from foundationpose_tpu.ops import raster
 
+# compile-heavy field reconstruction: >10 min on a small CPU host (fast on TPU); the quick
+# pyramid lives in the unit-test files
+pytestmark = pytest.mark.slow
+
 K = np.array([[200.0, 0, 64], [0, 200.0, 64], [0, 0, 1]])
 HW = (128, 128)
 
