@@ -1,0 +1,51 @@
+"""Standing accuracy harness driver — writes ACCURACY_r{N}.json.
+
+The speed twin of bench.py: runs the fixed synthetic scene suite
+(foundationpose_tpu/evalsuite) through register (full / funnel / coarse
+funnel schedules) and a 60-frame track, in geometric and learned modes, and
+reports ADD-S / ADD AUC + tracking ATE per scene. One JSON so the judge (and
+future rounds) can diff accuracy the way BENCH_r*.json diffs speed.
+
+Usage:
+    python accuracy.py [--out ACCURACY_r04.json] [--quick] [--modes geometric,learned]
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="ACCURACY_r04.json")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--modes", default="geometric,learned")
+    ap.add_argument("--steps-refiner", type=int, default=2000)
+    ap.add_argument("--steps-scorer", type=int, default=4000)
+    ap.add_argument("--no-track", action="store_true")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="[%(funcName)s] %(message)s")
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from foundationpose_tpu.evalsuite.harness import run_accuracy
+
+    results = run_accuracy(
+        out_path=args.out,
+        quick=args.quick,
+        modes=tuple(args.modes.split(",")),
+        learned_steps=(args.steps_refiner, args.steps_scorer),
+        track=not args.no_track,
+    )
+    print(json.dumps(results["summary"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -481,3 +481,23 @@ def make_icosphere_mesh(subdivisions=2, radius=1.0):
 
     verts, faces = icosphere(subdivisions, radius)
     return Mesh(verts, faces.astype(np.int32))
+
+
+def make_cylinder(radius=0.5, height=1.0, n_seg=48):
+    """Closed cylinder along +z, outward-CCW winding (z-axis continuous
+    rotational symmetry — the evaluation suite's symmetric-object class,
+    matching the reference's YCB-V cylinder overrides, datareader.py:483-507)."""
+    ang = np.arange(n_seg) / n_seg * 2 * np.pi
+    ring = np.stack([np.cos(ang) * radius, np.sin(ang) * radius], axis=-1)
+    top = np.concatenate([ring, np.full((n_seg, 1), height / 2)], axis=-1)
+    bot = np.concatenate([ring, np.full((n_seg, 1), -height / 2)], axis=-1)
+    verts = np.concatenate(
+        [top, bot, [[0, 0, height / 2]], [[0, 0, -height / 2]]]
+    )
+    ct, cb = 2 * n_seg, 2 * n_seg + 1
+    faces = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        faces += [[i, n_seg + i, n_seg + j], [i, n_seg + j, j]]  # side
+        faces += [[ct, i, j], [cb, n_seg + j, n_seg + i]]  # caps
+    return Mesh(verts, np.asarray(faces, dtype=np.int32))

@@ -114,6 +114,26 @@ class GeometricRefiner:
         return _icp_refine(self.cfg, mesh_tensors, poses, K, rgb, xyz_map,
                            mesh_diameter, int(iteration))
 
+    # -- shared fused-program protocol (see PoseRefiner.program_key) --
+    @property
+    def program_key(self):
+        return (GeometricRefiner, self.cfg)
+
+    @property
+    def program_params(self):
+        return ()
+
+    @staticmethod
+    def traced_body_fn(key):
+        _, cfg = key
+
+        def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
+               iteration, out_size=None):
+            return _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map,
+                               diameter, int(iteration))
+
+        return fn
+
 
 def _point_to_plane_delta(p, q, n, w, mu=0.2, damping=1e-6):
     """One linearized ICP step: Δ = exp([t, θ]) minimizing
@@ -206,6 +226,26 @@ class GeometricScorer:
         accepted for interface parity with PoseScorer; ignored)."""
         return _geo_score(self.cfg, mesh_tensors, poses, K, rgb, xyz_map,
                           mesh_diameter)
+
+    # -- shared fused-program protocol (see PoseRefiner.program_key) --
+    @property
+    def program_key(self):
+        return (GeometricScorer, self.cfg)
+
+    @property
+    def program_params(self):
+        return ()
+
+    @staticmethod
+    def traced_body_fn(key):
+        _, cfg = key
+
+        def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
+               out_size=None):
+            return _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map,
+                              diameter)
+
+        return fn
 
     def predict(self, mesh_tensors, rgb, xyz_map, K, poses, mesh_diameter):
         return _geo_score(

@@ -96,6 +96,31 @@ class PoseRefiner:
                              mesh_diameter, int(iteration), net=self.net,
                              cfg=self.cfg, out_size=out_size)
 
+    # -- shared fused-program protocol (engine.estimator._register_program):
+    # program_key is a hashable static key (flax modules hash by config, so
+    # two PoseRefiners with equal configs share one compiled program);
+    # program_params is the traced pytree; traced_body_fn rebuilds the
+    # traceable refine body from the key alone.
+    @property
+    def program_key(self):
+        return (PoseRefiner, self.net, self.cfg)
+
+    @property
+    def program_params(self):
+        return self.params
+
+    @staticmethod
+    def traced_body_fn(key):
+        _, net, cfg = key
+
+        def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
+               iteration, out_size=None):
+            return _refine_iters(params, mesh_tensors, poses, K, rgb, xyz_map,
+                                 diameter, int(iteration), net=net, cfg=cfg,
+                                 out_size=out_size)
+
+        return fn
+
 
 @functools.partial(jax.jit, static_argnames=("net", "cfg", "iteration"))
 def _refine_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,

@@ -79,6 +79,26 @@ class PoseScorer:
         return _score_jit(self.net, self.cfg, self.params, mesh_tensors, poses,
                           K, rgb, xyz_map, mesh_diameter, out_size)
 
+    # -- shared fused-program protocol (see PoseRefiner.program_key) --
+    @property
+    def program_key(self):
+        return (PoseScorer, self.net, self.cfg)
+
+    @property
+    def program_params(self):
+        return self.params
+
+    @staticmethod
+    def traced_body_fn(key):
+        _, net, cfg = key
+
+        def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
+               out_size=None):
+            return _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb,
+                              xyz_map, diameter, out_size)
+
+        return fn
+
 
 @functools.partial(jax.jit, static_argnames=("net", "cfg", "out_size"))
 def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,

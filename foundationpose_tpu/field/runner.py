@@ -48,6 +48,12 @@ class FieldConfig:
     decay_rate: float = 0.1
     n_samples: int = 128
     n_samples_around_depth: int = 128
+    # hierarchical importance sampling (reference N_importance,
+    # nerf_runner.py:807-830): resample ``n_importance`` extra depths per ray
+    # from the coarse pass's compositing weights (inverse-CDF sample_pdf,
+    # nerf_helpers.py:358-385), query the field there too, and run every loss
+    # over the union. 0 = off, like the reference default (config_ycbv.yml).
+    n_importance: int = 0
     trunc: float = 0.01  # meters (scaled by sc_factor internally)
     sdf_lambda: float = 5.0
     neg_trunc_ratio: float = 1.0
@@ -254,17 +260,49 @@ class NeRFRunnerTPU:
             dirs_w = jnp.einsum("nij,nj->ni", tf[:, :3, :3], dirs_cam)
             viewdirs = dirs_w / jnp.linalg.norm(dirs_w, axis=-1, keepdims=True)
 
+            key, k_imp = jax.random.split(key)
             z_vals, valid = sampling.sample_rays(
                 key, rays_o, dirs_w, target_d, occ,
                 cfg.n_samples, cfg.n_samples_around_depth,
                 trunc, neg_trunc_ratio=cfg.neg_trunc_ratio, far_default=far_n,
-                sort=False,  # every train loss is per-sample order-free
+                # train losses are per-sample order-free; sample_pdf's bins
+                # need ascending z, so sort only when hierarchical sampling is on
+                sort=cfg.n_importance > 0,
             )
             pts = rays_o[:, None, :] + dirs_w[:, None, :] * z_vals[..., None]
             inside = (jnp.abs(pts) <= 1.0).all(axis=-1)
             valid = valid & inside
 
             raw = field.apply(params, pts, viewdirs, frame_ids)
+
+            if cfg.n_importance > 0:
+                # hierarchical pass (nerf_runner.py:807-830): inverse-CDF
+                # resample from the coarse compositing weights (detached),
+                # query the field at the new depths, merge. No re-sort needed:
+                # every downstream loss term is per-sample order-free.
+                w_c = losses_mod.depth_band_weights(
+                    z_vals, target_d, trunc, cfg.sdf_lambda, far_n,
+                    cfg.neg_trunc_ratio,
+                ) * valid
+                z_mid = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
+                z_imp = jax.lax.stop_gradient(
+                    sampling.sample_pdf(
+                        k_imp, z_mid, w_c[:, 1:-1], cfg.n_importance
+                    )
+                )
+                pts_i = (
+                    rays_o[:, None, :] + dirs_w[:, None, :] * z_imp[..., None]
+                )
+                valid_i = (
+                    sampling.occupancy_lookup(occ, pts_i)
+                    & (jnp.abs(pts_i) <= 1.0).all(axis=-1)
+                    & valid.any(axis=-1, keepdims=True)
+                )
+                raw_i = field.apply(params, pts_i, viewdirs, frame_ids)
+                z_vals = jnp.concatenate([z_vals, z_imp], axis=-1)
+                valid = jnp.concatenate([valid, valid_i], axis=-1)
+                raw = jnp.concatenate([raw, raw_i], axis=-2)
+
             sdf = raw[..., 3]
 
             valid_rays = valid.any(axis=-1) & (ray_type == 0)

