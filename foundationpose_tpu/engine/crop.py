@@ -86,14 +86,36 @@ def make_crop_batch(
     rgbA = r["rgb"]  # already [0,1]
     xyzA = r["xyz"]
 
-    # crop tfs are scale+translate by construction -> separable MXU warp
-    rgbB = imops.warp_crop_affine(rgb, tfs, (S, S), mode="bilinear") / 255.0
-    xyzB = imops.warp_crop_affine(xyz_map, tfs, (S, S), mode="nearest")
-
     t = poses[:, :3, 3]
 
-    def normalize(xyz, thres):
+    # crop tfs are scale+translate by construction -> separable MXU warp.
+    # On the Pallas/TPU path the warps run in bf16 (single MXU pass vs the
+    # package-default f32-highest 6-pass): rgb rounds ~0.4% (< 1/255), and
+    # xyz is pre-centered on the mean hypothesis translation so the bf16
+    # rounding is 0.4% of the RESIDUAL (~0.4 mm), not of the 0.5+ m camera
+    # z; validity travels as its own exactly-warped 0/1 channel because the
+    # centered invalid pixels no longer sit at z=0.
+    wdt = jnp.bfloat16 if use_pallas else None
+    rgbB = imops.warp_crop_affine(
+        rgb, tfs, (S, S), mode="bilinear", compute_dtype=wdt
+    ) / 255.0
+    if use_pallas:
+        c_bar = jnp.mean(t, axis=0)  # shared center: one warp for all poses
+        valid_src = (xyz_map[..., 2:] >= z_invalid_thres).astype(jnp.float32)
+        src = jnp.concatenate([xyz_map - c_bar[None, None], valid_src], -1)
+        w = imops.warp_crop_affine(
+            src, tfs, (S, S), mode="nearest", compute_dtype=wdt
+        )
+        xyzB = w[..., :3] + c_bar[None, None, None]
+        validB = w[..., 3:] > 0.5
+    else:
+        xyzB = imops.warp_crop_affine(xyz_map, tfs, (S, S), mode="nearest")
+        validB = xyzB[..., 2:3] >= z_invalid_thres
+
+    def normalize(xyz, thres, valid=None):
         invalid = xyz[..., 2:3] < thres  # (N,S,S,1)
+        if valid is not None:
+            invalid = invalid | ~valid
         centered = xyz - t[:, None, None, :]
         if not normalize_xyz:
             return centered
@@ -103,7 +125,7 @@ def make_crop_batch(
         return jnp.where(bad, 0.0, scaled)
 
     xyzA_n = normalize(xyzA, z_invalid_thres)
-    xyzB_n = normalize(xyzB, z_invalid_thres)
+    xyzB_n = normalize(xyzB, z_invalid_thres, valid=validB)
 
     out = {
         "inputA": jnp.concatenate([rgbA, xyzA_n], axis=-1),

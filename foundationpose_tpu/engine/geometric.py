@@ -73,6 +73,13 @@ class GeometricConfig:
     crop_ratio: float = 1.2
     input_size: int = 160
     tau_rel: float = 0.05  # inlier threshold as a fraction of mesh diameter
+    # starting (coarse) inlier threshold of the anneal, as a fraction of the
+    # diameter. Must cover the translation-guess bias: the guess seeds z at
+    # the MEDIAN MASKED DEPTH (the visible front surface, estimater.py:137-156
+    # semantics), which for a convex object sits ~D/4 in front of the center —
+    # a 0.1*D start (the old 2*tau_rel) left zero inliers on spheres and the
+    # ICP stuck at the seed
+    tau0_rel: float = 0.3
     # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
     use_pallas: bool | None = None
     # drop camera-facing-away triangles (exact for closed CCW meshes)
@@ -203,7 +210,7 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
         deltas = jax.vmap(solve)(xyzA, xyzB, nrmA, w)  # (B,4,4)
         return deltas @ poses
 
-    tau0 = 2.0 * cfg.tau_rel * mesh_diameter
+    tau0 = cfg.tau0_rel * mesh_diameter
     tau1 = 0.5 * cfg.tau_rel * mesh_diameter
 
     def body(i, p):

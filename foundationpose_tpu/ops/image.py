@@ -185,8 +185,8 @@ def _axis_weights(pos, size, mode):
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "mode"))
-def warp_crop_affine(img, tf, out_size, mode="bilinear"):
+@functools.partial(jax.jit, static_argnames=("out_size", "mode", "compute_dtype"))
+def warp_crop_affine(img, tf, out_size, mode="bilinear", compute_dtype=None):
     """Fast path of :func:`warp_perspective` for the crop transforms this
     framework produces (``compute_crop_window_tf_batch``): pure scale +
     translation, so the resample is separable and runs as two batched
@@ -195,7 +195,15 @@ def warp_crop_affine(img, tf, out_size, mode="bilinear"):
     ~3 ms). Semantics match warp_perspective for axis-aligned ``tf``.
 
     img: (H,W,C) or (H,W); tf: (B,3,3) source->dest with tf[:,0,1] ==
-    tf[:,1,0] == 0. Output (B,out_h,out_w,C).
+    tf[:,1,0] == 0. Output (B,out_h,out_w,C) float32.
+
+    ``compute_dtype=jnp.bfloat16`` runs the two weight matmuls in bf16
+    (single MXU pass instead of the 6-pass f32-highest the package default
+    demands, and half the intermediate HBM traffic). Nearest-mode weights
+    are exact 0/1 in bf16, so a nearest warp then only rounds the VALUES
+    (~0.4% relative); bilinear additionally rounds the taps. Callers must
+    pre-center large-magnitude channels (see engine.crop) so 0.4% is
+    sub-noise.
     """
     img = jnp.asarray(img, jnp.float32)
     squeeze = False
@@ -222,8 +230,19 @@ def warp_crop_affine(img, tf, out_size, mode="bilinear"):
     )
     Wy = _axis_weights(ys, H, mode)  # (B,out_h,H)
     Wx = _axis_weights(xs, W, mode)  # (B,out_w,W)
-    tmp = jnp.einsum("bih,hwc->biwc", Wy, img)
-    out = jnp.einsum("biwc,bjw->bijc", tmp, Wx)
+    prec = None
+    if compute_dtype is not None:
+        Wy = Wy.astype(compute_dtype)
+        Wx = Wx.astype(compute_dtype)
+        img = img.astype(compute_dtype)
+        # the package pins default_matmul_precision=highest (multi-pass);
+        # explicitly request the single-pass mode for the bf16 fast path
+        prec = jax.lax.Precision.DEFAULT
+    tmp = jnp.einsum("bih,hwc->biwc", Wy, img, precision=prec)
+    out = jnp.einsum(
+        "biwc,bjw->bijc", tmp, Wx, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
     if squeeze:
         out = out[..., 0]
     return out[0] if single else out

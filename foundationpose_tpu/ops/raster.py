@@ -36,9 +36,14 @@ ZNEAR = 0.001
 
 
 def _next_bucket(n: int, base: int) -> int:
-    """Smallest base*2^k >= n (geometric shape buckets)."""
+    """Smallest base*2^k or base*3*2^(k-1) >= n (1.5-step geometric shape
+    buckets: max 33% padding instead of 2x, at twice the bucket count —
+    pad faces cost prep/DMA work in the Pallas raster, so the tighter
+    buckets are worth the extra compiled-program variety)."""
     b = base
     while b < n:
+        if b * 3 // 2 >= n:
+            return b * 3 // 2
         b *= 2
     return b
 

@@ -5,29 +5,39 @@ tests and for paths that need tri/bary outputs), restructured so the
 pixel x face work never leaves VMEM and the inner loop touches each
 pixel x face pair with the minimum possible VPU work:
 
-- grid: ONE cell per pose (a (pose, band) grid was measured slower — Mosaic
-  per-cell overhead on 20k tiny cells); the kernel loops over 2-row pixel
-  bands internally with per-band chunk ranges from SMEM, deriving pixel
+- grid: ONE cell per pose; the kernel loops over 2-row pixel bands
+  internally with per-band chunk ranges from SMEM, deriving pixel
   coordinates from iota; per-pose face tables are VMEM-resident blocks;
 - faces are SORTED by their crop-space y-extent at prep time (invalid /
   culled faces to the end), so the per-(band, face-chunk) overlap range
   actually culls, and bands overlapping no face skip all work and write
   zeros;
-- the chunk loop carries only per-LANE running bests (score + chunk id) —
-  no cross-lane reductions or attribute selection inside the loop;
-- after the loop, one cross-lane argmax finds each pixel's winning face and
-  a one-hot (Pt,128) @ (128,T) MXU matmul over just the winning chunk(s)
-  fetches the face's full table row (barycentric coefficients + per-corner
-  attributes) — bf16_3x passes are exact for a 0/1 one-hot times f32 table;
-- perspective-correct interpolation recomputes the winner's barycentrics
-  from the fetched coefficients in exact f32.
+- pass 1 (z-test) carries ONE packed int32 per (pixel, lane): the f32
+  inverse-depth score with the lane id and window index packed into its 12
+  low mantissa bits, so the per-window update is a single integer max and
+  the winner extraction one cross-lane max;
+- pass 2 fetches the winner's table row with a one-hot (Pt,128) @ (128,T)
+  bf16 MXU matmul over the active chunk(s) — exact, because a 0/1 one-hot
+  times a bf16 table reproduces the stored row bit-for-bit;
+- interpolation is PLANE-FORM: perspective-correct interpolation of any
+  vertex attribute is numerator(px,py) / denominator(px,py) with BOTH
+  affine in pixel coords, so prep bakes each face's per-channel numerator
+  planes (A, B, C) and the kernel evaluates
+      value = (dx*A + dy*B + C_hi + C_lo) * (1 / denominator)
+  where the denominator (sum_k w_k * invz_k) is exactly the pass-1 score,
+  recovered by UNPACKING the winner's packed int32 (the 12 clobbered
+  mantissa bits cost 2^-11 relative — invisible against bf16 tables).
+  This removes the per-corner barycentric reconstruction chain (a dozen
+  (Pt,1)-shaped VPU ops per band) entirely.
+- numerator planes are anchored at the face centroid (dx = px - x0 is
+  O(face size)) and C is stored as a bf16 hi + bf16 residual pair, so the
+  bf16 table costs ~2^-16 relative on the anchor value and ~0.4% of the
+  within-face variation — sub-mm xyz, sub-quantum rgb.
 
-The crop path (make_crop_batch) opts out of the normal-image epilogue
-(``with_normal=False``) and can write the kernel output in bfloat16
-(``out_bf16=True``) — the output stream is the largest DMA of the kernel
-and the table values are bf16-quantized anyway. (An 8-wide "compact" output
-profile was tried and measured SLOWER: sub-16-lane outputs hit Mosaic lane
-padding and strided DMA; the 16-wide row with bf16 is the fast shape.)
+The crop path (make_crop_batch) opts out of the normal-image channels
+(``with_normal=False``: 8-wide output rows, T=40 tables) and can write the
+kernel output in bfloat16 (``out_bf16=True``) — the output stream is one of
+the larger DMAs and the values are bf16-precision anyway.
 
 Optional backface culling (valid for closed, consistently CCW-wound meshes
 — the estimator enables it automatically for watertight meshes) removes
@@ -35,6 +45,11 @@ Optional backface culling (valid for closed, consistently CCW-wound meshes
 
 Replaces the reference's nvdiffrast CUDA rasterizer (consumed at
 src/Utils.py:133-219) for the refine/score render path.
+
+NOTE on benchmarking this file: poses/tfs must be TRACED ARGUMENTS of the
+timed jit. With them closed over as constants XLA constant-folds the whole
+program — pallas call included — and every variant measures the same ~20 ms
+(this produced bogus tuning numbers in round 3).
 """
 
 from __future__ import annotations
@@ -49,56 +64,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from foundationpose_tpu.ops.raster import _bary_coeffs, _signed_area2, ZNEAR
 
-# pass-2 fetch-table layout, one T_DIM-wide row per face (pre-rounded to bf16
-# so the one-pass MXU one-hot fetch is exact; every quantity is stored in a
-# locally-centered form so bf16 quantization is harmless — see prep()):
-# 0-8:   anchored barycentric triplets [a_k, b_k, w0_k] for k=0..2
-#        (w_k = a_k*(px-x0) + b_k*(py-y0) + w0_k; x0,y0 = face centroid)
-# 9,10:  anchor (x0, y0)
-# 16+A*k .. 16+A*(k+1)-1 (k=0..2): per-corner attributes, width A:
-#   FULL profile (A=16): [invz, xyz_cam-POSE_T(3), normal_cam(3), rgb-or-uv(3),
-#                         diffuse, 0, uv_lo(2), 0, 0]  (col 11 of the OUTPUT
-#                         row = hit mask)
-#   COMPACT profile (A=8): [invz, xyz_cam-POSE_T(3), rgb(3), diffuse]
-# The z-test loop (pass 1) reads a separate full-f32 (9, F) coefficient
-# tensor: rows 0-5 are the two det-normalized edge-function triplets
-# [a0,b0,c0,a1,b1,c1] and rows 6-8 the inverse-depth screen plane [pa,pb,pc]
-# (invz = pa*px + pb*py + pc), so pass 1 needs no per-corner invz values.
-FC = 128     # face chunk (lane dimension of the chunk loop)
+FC = 128      # face chunk (lane dimension of the chunk loop)
+PACK_BITS = 12  # low mantissa bits of the packed score: 7 lane + 5 window
 
 
-def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
-                        out_dtype=jnp.float32, W=160, tile_rows=2, n_tiles=80,
-                        variant=None):
-    """Kernel factory. ``A``: per-corner attribute width; ``T``: fetch-table
-    row width; ``compact``: 8-wide output with in-kernel lighting;
-    ``out_dtype``: bfloat16 halves the output DMA (the values are already
-    bf16-quantized by the fetch table, so the extra rounding is ~1 ulp).
-
-    Grid layout: ONE cell per pose; the kernel loops over the ``n_tiles``
-    row bands internally. A (pose, band) grid was measured 3-4x slower at
-    these sizes — Mosaic's per-cell overhead on 20k tiny cells dwarfed the
-    arithmetic — and pixel coordinates are derived from iota per band, so
-    the kernel needs no pixel-coordinate input at all."""
+def _make_raster_kernel(Pt, N8, T, out_dtype=jnp.float32, W=160, tile_rows=2,
+                        n_tiles=80, n_out=16, n_ch=7, variant=None):
+    """Kernel factory. ``N8``: channel-block width inside the fetch table
+    (A/B/C_hi/C_lo each N8 lanes, 8-aligned); ``T = 8 + 4*N8``: table row
+    width; ``n_out``: output row width holding ``n_ch`` numerator channels,
+    the denominator, the hit mask, and lane padding."""
 
     def kernel(coeff_ref, table_ref, ranges_ref, out_ref):
         """One pose.
 
-        coeff_ref:  (1, 9, F)          rows 0-2/3-5: affine coeffs [a,b,c] of
+        coeff_ref:  (1, 9, F) f32      rows 0-2/3-5: affine coeffs [a,b,c] of
                                        barycentrics w0/w1 (w2 = 1 - w0 - w1:
                                        the coeffs are det-normalized so they
                                        partition unity); rows 6-8: the
                                        inverse-depth screen plane [pa,pb,pc]
                                        (1/z is affine in pixel coords, so the
                                        z-test needs no per-corner invz at all)
-        table_ref:  (1, F, T)          bf16-quantized fetch rows (sorted order)
+        table_ref:  (1, F, T) bf16     fetch rows (sorted face order):
+                                       [x0,y0,pad(6), A(N8), B(N8),
+                                        C_hi(N8), C_lo(N8)]
         ranges_ref: (1, Tn, 2) SMEM    [lo, hi) face-chunk range per band
                                        (faces are y-sorted, so the overlapping
                                        chunks are a contiguous run — dynamic
                                        loop bounds replace a per-chunk
-                                       lax.cond, which costs ~0.4 us per chunk
-                                       per band)
-        out_ref:    (1, Pp, A_OUT)     interpolated attrs, written band by band
+                                       lax.cond)
+        out_ref:    (1, Pp, n_out)     plane-form interpolated channels +
+                                       hit mask in the last column
         """
         # static per-band pixel pattern: pixel i of a band is at
         # (x = i % W, y = band*tile_rows + i // W)
@@ -115,7 +111,7 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
             @pl.when(f_hi <= f_lo)
             def _():
                 out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.zeros(
-                    (Pt, A), out_dtype
+                    (Pt, n_out), out_dtype
                 )
 
             @pl.when(f_hi > f_lo)
@@ -136,135 +132,122 @@ def _make_raster_kernel(Pt, A, T, compact, use_light, w_ambient, w_diffuse,
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Pt, FC), 1)
         lane_rev = FC - 1 - lane_iota  # tie-break: prefer the LOWEST lane
 
-        # chunk windows: [f_lo, f_hi) in CHUNK units. (A face-granular
-        # variant with arbitrary dynamic window starts was tried and is
-        # impossible in this layout: Mosaic requires lane-dim slice starts to
-        # be provable multiples of 128, so windows must be chunk-aligned.)
+        # chunk windows: [f_lo, f_hi) in CHUNK units; lane-dim slice starts
+        # must be provable multiples of 128, so windows are chunk-aligned
         n_win = f_hi - f_lo
 
-        def window(w):
-            c = f_lo + w
-            ws = c * FC  # provably 128-aligned: chunk index times FC
-            return ws, None
-
-        # ---- pass 1: per-lane best (score, window) over the face range ----
-        # The score carry is an order-preserving int32 packing of the f32
-        # score with the lane id in the low 7 mantissa bits: one cross-lane
-        # int-max then recovers both the winner's score and its lane.
-        # (Cross-lane reductions are ~5 us each on (Pt,128); packing cuts
-        # three of them to one.) Clobbering 7 mantissa bits costs 2^-16
-        # relative z-resolution — far below visible z-fighting. The plain
-        # bitcast is order-preserving on the score domain {-1.0} u (0, inf).
-        if variant == "mxu1":
-            pix3 = jnp.concatenate(
-                [px, py, jnp.ones((Pt, 1), jnp.float32)], axis=1
-            )  # (Pt,3)
-
-        def body(w, carry):
-            packed_best, best_ws = carry
-            ws, _ = window(w)
-            ds = pl.ds(ws, FC)
-            if variant == "mxu1":
-                # affine evals as (Pt,3)@(3,FC) MXU dots; the VPU keeps only
-                # the compare/select tail
-                w0 = jnp.dot(pix3, coeff_ref[0, 0:3, ds],
-                             preferred_element_type=jnp.float32)
-                w1 = jnp.dot(pix3, coeff_ref[0, 3:6, ds],
-                             preferred_element_type=jnp.float32)
-                pix_invz = jnp.dot(pix3, coeff_ref[0, 6:9, ds],
-                                   preferred_element_type=jnp.float32)
-            else:
-                # exact-f32 barycentrics on the VPU (bary decides visibility
-                # and sub-pixel interpolation; single-pass bf16 MXU costs
-                # ~1 cm depth error). Only w0/w1 are evaluated; w2 falls out
-                # of partition-of-unity (invalid faces carry c0=c1=-1e9, so
-                # their min stays negative).
-                w0, w1, pix_invz = [
-                    pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
-                    + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
-                    + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
-                    for k in range(3)
-                ]  # 3 x (Pt,FC); k=2 is the inverse-depth plane, not a bary
+        # ---- pass 1: per-lane best over the face range, ONE int32 carry ----
+        # The carry is an order-preserving int32 packing of the f32 score
+        # with (window << 7 | lane) in the low 12 mantissa bits: the
+        # per-window update is a single integer max, and one cross-lane max
+        # recovers the winner's score (= the interpolation denominator),
+        # lane, and window at once. Clobbering 12 mantissa bits costs 2^-11
+        # relative z-resolution — far below visible z-fighting — and the
+        # plain bitcast is order-preserving on the score domain
+        # {-1.0} u (0, inf).
+        def body(w, packed_best):
+            ds = pl.ds((f_lo + w) * FC, FC)
+            # exact-f32 barycentrics on the VPU (bary decides visibility;
+            # single-pass bf16 MXU costs ~1 cm depth error). Only w0/w1 are
+            # evaluated; w2 falls out of partition-of-unity (invalid faces
+            # carry c0=c1=-1e9, so their min stays negative).
+            w0, w1, pix_invz = [
+                pxb * coeff_ref[0, 3 * k : 3 * k + 1, ds]
+                + pyb * coeff_ref[0, 3 * k + 1 : 3 * k + 2, ds]
+                + coeff_ref[0, 3 * k + 2 : 3 * k + 3, ds]
+                for k in range(3)
+            ]  # 3 x (Pt,FC); k=2 is the inverse-depth plane, not a bary
             w2 = 1.0 - w0 - w1
             inside = jnp.minimum(w0, jnp.minimum(w1, w2)) >= -1e-6
             score = jnp.where(inside, pix_invz, -1.0)
             packed = (
-                jax.lax.bitcast_convert_type(score, jnp.int32) & ~jnp.int32(FC - 1)
-            ) | lane_rev
-            improved = packed > packed_best
-            packed_best = jnp.where(improved, packed, packed_best)
-            best_ws = jnp.where(improved, ws.astype(jnp.float32), best_ws)
-            return packed_best, best_ws
+                jax.lax.bitcast_convert_type(score, jnp.int32)
+                & ~jnp.int32((1 << PACK_BITS) - 1)
+            ) | (lane_rev + (w << 7))
+            return jnp.maximum(packed_best, packed)
 
-        init = (
-            # bitcast(-1.0) with lane bits: still negative, below any hit
-            jnp.full((Pt, FC), np.float32(-1.0).view(np.int32), jnp.int32),
-            jnp.zeros((Pt, FC), jnp.float32),
+        init = jnp.full(
+            (Pt, FC),
+            np.int32(
+                (np.float32(-1.0).view(np.int32) & ~((1 << PACK_BITS) - 1))
+            ),
+            jnp.int32,
         )
-        packed_best, best_ws = jax.lax.fori_loop(0, n_win, body, init)
+        packed_best = jax.lax.fori_loop(0, n_win, body, init)
 
         # ---- winner extraction: ONE cross-lane reduction per pixel ----
         packed_top = jnp.max(packed_best, axis=-1, keepdims=True)  # (Pt,1)
         hit = packed_top > 0
-        win_lane = (FC - 1) - (packed_top & jnp.int32(FC - 1))  # (Pt,1)
-        onehot_lane = (lane_iota == win_lane).astype(jnp.float32)
+        low = packed_top & jnp.int32((1 << PACK_BITS) - 1)
+        win_lane = (FC - 1) - (low & jnp.int32(FC - 1))  # (Pt,1)
+        win_w = low >> 7  # (Pt,1) window offset of the winner
 
         if variant == "pass1":
             # probe: skip the fetch + interpolation epilogue entirely
             out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.broadcast_to(
-                packed_top.astype(jnp.float32), (Pt, A)
-            ).astype(out_dtype)
-            return
-        if variant == "idx_out":
-            # winner FACE INDEX only; fetch + interpolation move to an XLA
-            # epilogue gather (col 0 = face row index, col 11 = hit mask)
-            ws_win = jnp.sum(onehot_lane * best_ws, axis=-1, keepdims=True)
-            face = ws_win + win_lane.astype(jnp.float32)
-            col = jax.lax.broadcasted_iota(jnp.int32, (Pt, A), 1)
-            hitf0 = hit.astype(jnp.float32)
-            out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.where(
-                col == 0, face * hitf0,
-                jnp.where(col == 11, hitf0, 0.0),
+                packed_top.astype(jnp.float32), (Pt, n_out)
             ).astype(out_dtype)
             return
 
         # ---- pass 2: fetch winner rows from active windows via MXU ----
-        def body2(w, row):
-            ws, _ = window(w)
-            ds = pl.ds(ws, FC)
-            sel = onehot_lane * (best_ws == ws.astype(jnp.float32))  # (Pt,FC)
-            # one bf16 MXU pass: sel is exact 0/1 and the table rows are
-            # already bf16-quantized, so the fetch reproduces them exactly;
-            # a 6-pass HIGHEST fetch costs 6x the cycles
-            return row + jnp.dot(
-                sel,
-                table_ref[0, ds, :],
+        lane_eq = lane_iota == win_lane  # (Pt,FC)
+
+        def fetch1(w, masked):
+            ds = pl.ds((f_lo + w) * FC, FC)
+            sel = lane_eq if not masked else (lane_eq & (win_w == w))
+            # one bf16 MXU pass: sel is exact 0/1 and the table is bf16, so
+            # the fetch reproduces the stored rows exactly (Mosaic requires
+            # a 32-bit matmul accumulator, so the carry stays f32)
+            return jax.lax.dot_general(
+                sel.astype(jnp.bfloat16), table_ref[0, ds, :],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
-        row = jax.lax.fori_loop(0, n_win, body2, jnp.zeros((Pt, T), jnp.float32))
+        row = jax.lax.fori_loop(
+            0, n_win,
+            lambda w, row: row + fetch1(w, True),
+            jnp.zeros((Pt, T), jnp.float32),
+        )
 
-        # ---- perspective-correct interpolation from the winner's row ----
+        if variant == "fetch":
+            # probe: fetched rows written raw, interpolation skipped
+            out_ref[0, pl.ds(tile * Pt, Pt), :] = row[:, :n_out].astype(
+                out_dtype
+            )
+            return
+
+        # ---- plane-form perspective-correct NUMERATORS ----
+        # numerator = dx*A + dy*B + C_hi + C_lo; the denominator (the pass-1
+        # winner score, mantissa low bits zeroed) is written as its own
+        # channel and the division happens in the XLA epilogue at full lane
+        # width (an in-kernel (Pt,1) divide measured ~5 ms over the scene)
+        denom = jax.lax.bitcast_convert_type(
+            packed_top & ~jnp.int32((1 << PACK_BITS) - 1), jnp.float32
+        )
+        dx = px - row[:, 0:1]
+        dy = py - row[:, 1:2]
+        num = (
+            dx * row[:, 8 : 8 + N8]
+            + dy * row[:, 8 + N8 : 8 + 2 * N8]
+            + row[:, 8 + 2 * N8 : 8 + 3 * N8]
+            + row[:, 8 + 3 * N8 : 8 + 4 * N8]
+        )  # (Pt, N8)
+
         hitf = hit.astype(jnp.float32)
-        attrs = [row[:, 16 + A * k : 16 + A * (k + 1)] for k in range(3)]
-        dx = px - row[:, 9:10]  # pixel offset from the face anchor: O(face
-        dy = py - row[:, 10:11]  # size), so the bf16-stored coefficients cost
-        pw = []                  # ~0.5% of a px
-        for k in range(3):
-            w_k = (
-                row[:, 3 * k : 3 * k + 1] * dx
-                + row[:, 3 * k + 1 : 3 * k + 2] * dy
-                + row[:, 3 * k + 2 : 3 * k + 3]
-            )  # (Pt,1) winner barycentric, anchored form
-            pw.append(w_k * attrs[k][:, 0:1])
-        s = jnp.maximum(pw[0] + pw[1] + pw[2], 1e-12)
-        interp = (pw[0] * attrs[0] + pw[1] * attrs[1] + pw[2] * attrs[2]) / s
-
-        interp = interp * hitf
-        # stash the hit mask in padding column 11 (unused by the layout)
-        mask_col = jax.lax.broadcasted_iota(jnp.int32, (Pt, A), 1) == 11
-        out_ref[0, pl.ds(tile * Pt, Pt), :] = jnp.where(
-            mask_col, hitf, interp
+        # channels: [0, n_ch) numerators, n_ch = denominator, n_ch+1 = mask
+        out_ref[0, pl.ds(tile * Pt, Pt), :] = (
+            jnp.concatenate(
+                [
+                    num[:, :n_ch],
+                    denom,
+                    hitf,
+                    jnp.zeros((Pt, n_out - n_ch - 2), jnp.float32),
+                ],
+                axis=-1,
+            )
+            * hitf
         ).astype(out_dtype)
 
     return kernel
@@ -288,16 +271,16 @@ def render_crops_pallas(
     w_diffuse=0.5,
     light_dir=(0.0, 0.0, 1.0),
     interpret=False,
-    # 2-row bands measured fastest at 160px crops (85 vs 98 ms @ tile_rows=4
-    # for 252 poses, v5e): the conservative contiguous chunk range stays
-    # tightest and per-pixel VPU work dominates, so smaller bands win
+    # 2-row bands measured fastest at 160px crops (86 vs 100/113/128 ms for
+    # tile_rows 4/8/16, 252 poses, v5e, honest traced-args timing): the
+    # conservative contiguous chunk range stays tightest and pair work
+    # dominates, so smaller bands win
     tile_rows=2,
     backface_cull=False,
     with_normal=True,
     out_bf16=False,
-    # experimental kernel variants (scripts/probe_pass_split.py):
-    # "pass1" (z-test only), "mxu1" (MXU affine evals), "idx_out" (face-index
-    # output + XLA epilogue). None = production path.
+    # "pass1" = z-test-only probe kernel (scripts/probe_pass_split.py);
+    # None = production path.
     _variant=None,
 ):
     """Pallas fast path: same contract as ops.raster.render_crops minus the
@@ -306,11 +289,11 @@ def render_crops_pallas(
     ``tile_rows`` rows so face chunks can be culled against a tile's y-range;
     faces are y-sorted per pose so the culling is tight.
 
-    ``with_normal=False`` (the crop path) skips the normal-image epilogue.
-    ``out_bf16=True`` writes the kernel output in bfloat16, halving the
-    biggest DMA stream; the interpolants are already bf16-quantized by the
-    fetch table, so this costs ~1 ulp (xyz stays um-accurate because it is
-    stored pose-centered).
+    ``with_normal=False`` (the crop path) drops the normal channels: 8-wide
+    output rows and T=40 fetch tables instead of 16/72.
+    ``out_bf16=True`` writes the kernel output in bfloat16; the interpolants
+    carry bf16-table precision anyway, so this costs ~1 ulp (xyz stays
+    sub-mm because the planes are anchored and pose-centered).
 
     ``backface_cull=True`` additionally drops camera-facing-away triangles —
     exact for closed, consistently CCW-wound meshes (the visible surface of a
@@ -326,11 +309,19 @@ def render_crops_pallas(
     faces = mesh_tensors["faces"]
     vnormals = mesh_tensors["vnormals"]
     has_tex = "tex" in mesh_tensors
-    A_DIM = 16                         # per-corner attribute width
-    T_DIM = 16 + 3 * A_DIM             # fetch-table row width
-    A_OUT = A_DIM                      # kernel output row width
+    # channel layout: [xyz(3), rgb-or-uv(3), diffuse] (+ normal(3))
+    N_CH = 10 if with_normal else 7
+    N8 = ((N_CH + 7) // 8) * 8         # A/B/C block width (8-aligned)
+    T_DIM = 8 + 4 * N8                 # [x0,y0,pad6, A,B,C_hi,C_lo]
+    N_OUT = N_CH + 2                   # + denominator + hit-mask columns
+    N_OUT = ((N_OUT + 7) // 8) * 8     # lane-pad the output row
     F = faces.shape[0]
     Fp = ((F + FC - 1) // FC) * FC
+    # the packed-score layout reserves 5 bits for the window index
+    assert Fp // FC <= (1 << (PACK_BITS - 7)), (
+        f"{F} faces exceed the packed-window budget "
+        f"({FC * (1 << (PACK_BITS - 7))}); split the mesh or raise PACK_BITS"
+    )
     if Fp != F:
         faces = jnp.concatenate(
             [faces, jnp.zeros((Fp - F, 3), faces.dtype)], axis=0
@@ -373,53 +364,52 @@ def render_crops_pallas(
         plane = jnp.einsum("frk,fk->fr", coeff, invz)  # (Fp,3) [pa,pb,pc]
         coeff9 = jnp.concatenate([coeffT2[:, :6], plane], axis=-1)
 
-        # pass-2 anchored coefficients: evaluate each bary component at the
-        # (bf16-rounded) face centroid so the kernel recomputes the winner's
-        # barycentrics from O(1)-magnitude terms that survive the bf16 fetch
-        anchor = tri_xy.mean(axis=1)  # (Fp,2)
-        anchor = anchor.astype(jnp.bfloat16).astype(jnp.float32)
-        w0 = (
-            coeff[:, 0, :] * anchor[:, 0:1]
-            + coeff[:, 1, :] * anchor[:, 1:2]
-            + coeff[:, 2, :]
-        )  # (Fp,3)
-        anchored9 = jnp.stack(
-            [coeff[:, 0, :], coeff[:, 1, :], w0], axis=1
-        ).transpose(0, 2, 1).reshape(Fp, 9)  # [a_k,b_k,w0_k] x3
-
+        # per-corner channel attributes (N_CH wide)
         n_cam = vnormals @ R.T
         diffuse = jnp.clip(jnp.sum(n_cam * (-light)[None], axis=-1), 0.0, 1.0)
         V = verts.shape[0]
         if has_tex:
-            uv_hi = mesh_tensors["uv"]
-            # bf16 residual (hi/lo split): interpolation is linear, so
-            # adding the interpolated residual back restores full uv
-            # precision (bf16 alone costs ~8 texels on a 2K texture)
-            uv_lo = uv_hi - uv_hi.astype(jnp.bfloat16).astype(jnp.float32)
             col_or_uv = jnp.concatenate(
-                [uv_hi, jnp.zeros((V, 1))], axis=-1
+                [mesh_tensors["uv"], jnp.zeros((V, 1))], axis=-1
             )
-            tail = jnp.concatenate(
-                [jnp.zeros((V, 1)), uv_lo, jnp.zeros((V, A_DIM - 14))],
-                axis=-1,
-            )  # col 11 = mask slot, cols 12-13 = uv residual
         else:
             col_or_uv = mesh_tensors["vertex_color"]
-            tail = jnp.zeros((V, A_DIM - 11))
-        vert_attr = jnp.concatenate(
+        parts = [
+            v_cam - t[None],  # pose-centered: bf16 planes keep sub-mm
+            col_or_uv,
+            diffuse[:, None],
+        ]
+        if with_normal:
+            parts.append(n_cam)
+        vert_attr = jnp.concatenate(parts, axis=-1)  # (V, N_CH)
+        attr = vert_attr[faces]  # (Fp,3,N_CH)
+
+        # plane-form numerators: num_j(p) = sum_k w_k(p) * invz_k * attr_kj
+        # is affine in pixel coords; A/B are its x/y gradients and C its
+        # value at the (bf16-exact) anchor
+        wk = coeff * invz[:, None, :]  # (Fp,3,3): [row a,b,c][col k] * invz_k
+        A = jnp.einsum("fk,fkn->fn", wk[:, 0, :], attr)  # (Fp,N_CH)
+        Bc = jnp.einsum("fk,fkn->fn", wk[:, 1, :], attr)
+        C0 = jnp.einsum("fk,fkn->fn", wk[:, 2, :], attr)
+        anchor = tri_xy.mean(axis=1)  # (Fp,2)
+        anchor = anchor.astype(jnp.bfloat16).astype(jnp.float32)
+        C = A * anchor[:, 0:1] + Bc * anchor[:, 1:2] + C0
+        C_hi = C.astype(jnp.bfloat16).astype(jnp.float32)
+        C_lo = C - C_hi
+
+        def pad8(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((Fp, N8 - N_CH))], axis=-1
+            ) if N8 != N_CH else x
+
+        table = jnp.concatenate(
             [
-                jnp.zeros((V, 1)),  # invz placeholder (per corner)
-                v_cam - t[None],  # centered: bf16 keeps um precision
-                n_cam,
-                col_or_uv,
-                diffuse[:, None],
-                tail,
+                anchor,                      # 0,1
+                jnp.zeros((Fp, 6)),          # 2-7
+                pad8(A), pad8(Bc), pad8(C_hi), pad8(C_lo),
             ],
             axis=-1,
-        )  # (V, A_DIM)
-        attr = vert_attr[faces]  # (Fp,3,A_DIM)
-        attr = attr.at[:, :, 0].set(invz)
-        attr3A = attr.reshape(Fp, 3 * A_DIM)
+        )  # (Fp, T_DIM)
 
         # per-face y-extent for tile culling (invalid faces never overlap)
         y = tri_xy[..., 1]  # (Fp,3)
@@ -427,32 +417,20 @@ def render_crops_pallas(
         ymax = jnp.where(valid, y.max(axis=-1), -jnp.inf)
 
         combined = jnp.concatenate(
-            [
-                coeff9,                      # 0-8   pass-1 coeffs + invz plane
-                ymin[:, None],               # 9
-                ymax[:, None],               # 10
-                jnp.zeros((Fp, 5)),          # 11-15
-                anchored9,                   # 16-24 pass-2 anchored coeffs
-                anchor,                      # 25-26
-                jnp.zeros((Fp, 5)),          # 27-31
-                attr3A,                      # 32-.. pass-2 attrs
-            ],
-            axis=-1,
-        )  # (Fp, 32 + 3*A_DIM)
+            [coeff9, ymin[:, None], ymax[:, None], table], axis=-1
+        )  # (Fp, 11 + T_DIM)
         # sort faces by ymin (invalid last) so chunk y-extents are tight and
         # whole chunks of culled faces disappear from the overlap ranges
         perm = jnp.argsort(ymin)
         return jnp.take(combined, perm, axis=0)
 
-    combined = jax.vmap(prep)(poses, crop_tfs)  # (B, Fp, 32+3A)
+    combined = jax.vmap(prep)(poses, crop_tfs)  # (B, Fp, 11+T)
     coeffT = combined[:, :, :9].transpose(0, 2, 1)  # (B, 9, Fp)
     ymin = combined[:, :, 9]
     ymax = combined[:, :, 10]
-    # pre-round the fetch table to bf16: the one-pass MXU one-hot fetch then
-    # reproduces the stored values exactly
-    table = (
-        combined[:, :, 16 : 16 + T_DIM].astype(jnp.bfloat16).astype(jnp.float32)
-    )  # (B, Fp, T_DIM): anchored coeffs | anchor | pad | attr3A
+    # bf16 fetch table: the one-pass MXU one-hot fetch reproduces the stored
+    # values exactly, and bf16 halves both the DMA and the MXU pass count
+    table = combined[:, :, 11:].astype(jnp.bfloat16)  # (B, Fp, T_DIM)
 
     # ---- pixel grid: row bands of tile_rows rows (coords from iota
     # in-kernel; no pixel-coordinate input) ----
@@ -481,12 +459,9 @@ def render_crops_pallas(
     ranges = jnp.stack([c_lo, c_hi], axis=-1)  # (B, T, 2) int32
 
     out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
-    if _variant == "idx_out":
-        out_dtype = jnp.float32  # face indices must stay exact integers
     kernel = _make_raster_kernel(
-        Pt, A_DIM, T_DIM, False, use_light, float(w_ambient), float(w_diffuse),
-        out_dtype=out_dtype, W=W, tile_rows=tile_rows, n_tiles=n_tiles,
-        variant=_variant,
+        Pt, N8, T_DIM, out_dtype=out_dtype, W=W, tile_rows=tile_rows,
+        n_tiles=n_tiles, n_out=N_OUT, n_ch=N_CH, variant=_variant,
     )
     out = pl.pallas_call(
         kernel,
@@ -498,9 +473,9 @@ def render_crops_pallas(
             pl.BlockSpec((1, n_tiles, 2), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Pp, A_OUT), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, Pp, N_OUT), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Pp, A_OUT), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, N_OUT), out_dtype),
         interpret=interpret,
         **(
             {}
@@ -514,50 +489,29 @@ def render_crops_pallas(
     )(coeffT, table, ranges)
 
     if _variant == "pass1":  # probe-only: z-test output, no attributes
-        junk = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
+        junk = out[:, :P].reshape(B, H, W, N_OUT).astype(jnp.float32)
         z = jnp.zeros((B, H, W))
         return {"rgb": junk[..., :3], "depth": z, "xyz": junk[..., :3],
                 "mask": z > 1}
-    if _variant == "idx_out":
-        # XLA epilogue: gather each pixel's winning table row, then the same
-        # anchored-barycentric perspective interpolation as the kernel
-        face = out[:, :P, 0].astype(jnp.int32)  # (B,P)
-        hitf = out[:, :P, 11:12]  # (B,P,1)
-        rows = jnp.take_along_axis(table, face[..., None], axis=1)  # (B,P,T)
-        px = jnp.broadcast_to((jnp.arange(P) % W).astype(jnp.float32), (B, P))[..., None]
-        py = jnp.broadcast_to((jnp.arange(P) // W).astype(jnp.float32), (B, P))[..., None]
-        dx = px - rows[..., 9:10]
-        dy = py - rows[..., 10:11]
-        pw = []
-        attrs = [rows[..., 16 + A_DIM * k : 16 + A_DIM * (k + 1)] for k in range(3)]
-        for k in range(3):
-            w_k = (
-                rows[..., 3 * k : 3 * k + 1] * dx
-                + rows[..., 3 * k + 1 : 3 * k + 2] * dy
-                + rows[..., 3 * k + 2 : 3 * k + 3]
-            )
-            pw.append(w_k * attrs[k][..., 0:1])
-        s = jnp.maximum(pw[0] + pw[1] + pw[2], 1e-12)
-        interp = (pw[0] * attrs[0] + pw[1] * attrs[1] + pw[2] * attrs[2]) / s
-        col = jnp.arange(A_DIM)[None, None, :]
-        out = jnp.where(col == 11, hitf, interp * hitf)
-        out = out.reshape(B, H, W, A_OUT)
-    else:
-        out = out[:, :P].reshape(B, H, W, A_OUT).astype(jnp.float32)
+
+    out = out[:, :P].reshape(B, H, W, N_OUT).astype(jnp.float32)
     t_b = poses[:, None, None, :3, 3]
-    mask = out[..., 11] > 0.5
-    # un-center: the table stores xyz relative to each pose translation
-    xyz = (out[..., 1:4] + t_b) * mask[..., None]
+    mask = out[..., N_CH + 1] > 0.5
+    # perspective divide at full XLA lane width (numerator channels over the
+    # pass-1 denominator), then un-center: the planes store xyz relative to
+    # each pose translation
+    out = out[..., :N_CH] / jnp.where(mask, out[..., N_CH], 1.0)[..., None]
+    xyz = (out[..., 0:3] + t_b) * mask[..., None]
     depth = xyz[..., 2] * mask
     if has_tex:
         from foundationpose_tpu.ops.raster import _sample_texture
 
-        uvt = (out[..., 7:9] + out[..., 12:14]).reshape(-1, 2)  # hi + residual
+        uvt = out[..., 3:5].reshape(-1, 2)
         color = _sample_texture(mesh_tensors["tex"], uvt).reshape(B, H, W, 3)
     else:
-        color = out[..., 7:10]
+        color = out[..., 3:6]
     if use_light:
-        diffuse = out[..., 10:11]
+        diffuse = out[..., 6:7]
         color = color * w_ambient + diffuse * color * w_diffuse
     color = jnp.clip(color, 0.0, 1.0) * mask[..., None]
     result = {
@@ -567,7 +521,7 @@ def render_crops_pallas(
         "mask": mask,
     }
     if with_normal:
-        normal = out[..., 4:7]
+        normal = out[..., 7:10]
         nrm = normal / jnp.maximum(
             jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
         )

@@ -11,6 +11,11 @@ Variants:
                 perspective interpolation moved to an XLA epilogue gather
 
 Run on TPU: python scripts/probe_pass_split.py
+
+NOTE: poses/tfs MUST be traced arguments of the timed jit. An earlier
+version closed over them as constants; XLA constant-folded the whole
+program (pallas call included) at compile time and every variant measured
+~20 ms — those numbers were bogus.
 """
 
 import os
@@ -22,13 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def t(fn, n=10):
+def t(fn, *args, n=10):
     import jax
 
-    jax.block_until_ready(fn())
+    jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
-        r = fn()
+        r = fn(*args)
     jax.block_until_ready(r)
     return 1e3 * (time.perf_counter() - t0) / n
 
@@ -65,18 +70,28 @@ def main():
     poses = jnp.asarray(poses)
     tfs = geo.compute_crop_window_tf_batch(poses, K, 1.2, 0.12, (160, 160))
 
-    f_prod = jax.jit(lambda: render_crops_pallas(
-        mt, poses, K, tfs, out_hw=(160, 160), backface_cull=True,
+    f_prod = jax.jit(lambda p, tf: render_crops_pallas(
+        mt, p, K, tf, out_hw=(160, 160), backface_cull=True,
         with_normal=False, out_bf16=True,
     )["rgb"])
-    print(f"prod      : {t(f_prod):7.2f} ms", flush=True)
+    print(f"prod      : {t(f_prod, poses, tfs):7.2f} ms", flush=True)
 
-    for variant in ("pass1", "mxu1", "idx_out"):
+    for tr in (1, 4):
         try:
-            ms = t(jax.jit(lambda v=variant: render_crops_pallas(
-                mt, poses, K, tfs, out_hw=(160, 160), backface_cull=True,
+            ms = t(jax.jit(lambda p, tf, tr=tr: render_crops_pallas(
+                mt, p, K, tf, out_hw=(160, 160), backface_cull=True,
+                with_normal=False, out_bf16=True, tile_rows=tr,
+            )["rgb"]), poses, tfs)
+            print(f"tile_rows={tr:2d}: {ms:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"tile_rows={tr:2d}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    for variant in ("pass1", "fetch"):
+        try:
+            ms = t(jax.jit(lambda p, tf, v=variant: render_crops_pallas(
+                mt, p, K, tf, out_hw=(160, 160), backface_cull=True,
                 with_normal=False, out_bf16=True, _variant=v,
-            )["rgb"]))
+            )["rgb"]), poses, tfs)
             print(f"{variant:10s}: {ms:7.2f} ms", flush=True)
         except Exception as e:
             print(f"{variant:10s}: FAILED {type(e).__name__}: {e}", flush=True)
