@@ -172,8 +172,11 @@ def test_learned_smoke_default_suite():
     _, params_r, losses_r = datagen.train_refiner_synthetic(
         mesh, K, steps=60, batch=8, input_size=32, lr=3e-4
     )
+    # 500 steps is the floor for ranking signal: at 150 the listwise loss
+    # converges (92 -> 1.9) but the scorer still scores a 2.4-rad-off
+    # hypothesis above GT on a held-out scene (measured 2026-08)
     _, params_s, losses_s = datagen.train_scorer_synthetic(
-        mesh, K, steps=150, n_hyp=6, input_size=32, lr=1e-3
+        mesh, K, steps=500, n_hyp=6, input_size=32, lr=1e-3
     )
     assert np.isfinite(losses_r).all() and np.isfinite(losses_s).all()
     assert np.mean(losses_r[-10:]) < np.mean(losses_r[:10])
@@ -193,13 +196,35 @@ def test_learned_smoke_default_suite():
     assert pose.shape == (4, 4) and np.isfinite(pose).all()
     # translation is anchored by the mask/depth guess — must be in range
     np.testing.assert_allclose(pose[:3, 3], gt[:3, 3], atol=0.1)
-    # ranking signal (deterministic with fixed seeds): top-5 vs all
+
+    # ranking oracle on a CONTROLLED hypothesis set (deterministic, unlike
+    # post-refine ranking where 2 refine iterations leave near-ties): GT +
+    # five increasing rotation perturbations — the trained scorer must put
+    # GT above the two worst and correlate with -ADD-S overall
     tf_c = est.get_tf_to_centered_mesh()
+    gt_c = gt @ np.linalg.inv(tf_c)
+    centered = mesh.translated(-(mesh.bounds[0] + mesh.bounds[1]) / 2)
+    mt = raster.make_mesh_tensors(centered)
+    xyz_map = np.asarray(geo.depth2xyzmap(
+        jnp.asarray(depth, jnp.float32), jnp.asarray(K, jnp.float32)))
+    rng = np.random.default_rng(0)
+    hyps = [gt_c.copy()]
+    for ang in (0.15, 0.3, 0.6, 1.2, 2.4):
+        p = gt_c.copy()
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        p[:3, :3] = np.asarray(
+            geo.so3_exp_map(jnp.asarray(ax * ang)[None]))[0] @ p[:3, :3]
+        hyps.append(p)
+    hyps = np.stack(hyps).astype(np.float32)
+    scores = np.asarray(est.scorer.predict(
+        mt, np.asarray(rgb, np.float32), xyz_map, K, hyps,
+        float(est.diameter)))
     errs = np.array([
-        float(metrics.adds_err(p @ tf_c, gt, mesh.vertices))
-        for p in est.poses
+        float(metrics.adds_err(h, gt_c, centered.vertices)) for h in hyps
     ])
-    assert errs[:5].mean() < errs.mean(), (
-        f"scorer ranking no better than random: top5 {errs[:5].mean():.4f} "
-        f"vs all {errs.mean():.4f}"
+    assert scores[0] > min(scores[-1], scores[-2]), (
+        f"scorer ranks GT below the worst perturbations: {scores}"
     )
+    corr = np.corrcoef(scores, -errs)[0, 1]
+    assert corr > 0, f"score vs -ADD-S correlation {corr} <= 0 ({scores})"
