@@ -22,6 +22,14 @@ import time
 import numpy as np
 
 
+def _note(msg, _t0=[None]):
+    """Progress note on stderr (stdout carries only the final JSON line)."""
+    if _t0[0] is None:
+        _t0[0] = time.perf_counter()
+    print(f"[bench +{time.perf_counter() - _t0[0]:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
@@ -52,6 +60,7 @@ def main():
     depth = np.asarray(out["depth"][0])
     mask = np.asarray(out["mask"][0])
 
+    _note("scene built; compiling register")
     est = FoundationPoseTPU(mesh, config=EstimatorConfig(register_iterations=5))
     n_hyp = len(est.rot_grid)
 
@@ -60,6 +69,7 @@ def main():
     est.register(K, rgb, depth, mask)
     compile_s = time.perf_counter() - t0
 
+    _note(f"register compiled in {compile_s:.0f}s; timing")
     n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
@@ -76,6 +86,7 @@ def main():
     # binary measures 20-57 fps across back-to-back repetitions (round-3
     # diagnosis). Run several reps and report best + median — best reflects
     # what the code path sustains on a quiet link, median the typical link.
+    _note("compiling track")
     t0 = time.perf_counter()
     est.track_one(rgb, depth, K)  # warmup/compile
     track_compile_s = time.perf_counter() - t0
@@ -101,6 +112,7 @@ def main():
     # the parity schedule
     import dataclasses as _dc
 
+    _note("compiling funnel register")
     est_f = FoundationPoseTPU(
         mesh,
         config=_dc.replace(
@@ -123,6 +135,7 @@ def main():
     # RefineNet forward, ScoreNet forward, and the 1-hypothesis track stage.
     # MFU uses XLA's own cost analysis for the net FLOPs against the chip's
     # bf16 peak, so "how far from speed-of-light" is a number, not a claim.
+    _note("per-stage breakdown")
     stage_ms, mfu = _bench_stages(est, K, rgb, depth, n_hyp)
     if "register_useful_flops" in mfu:
         mfu["register_e2e"] = round(
@@ -131,10 +144,12 @@ def main():
         )
 
     # device-only track step time: one fused n-step loop (link paid once)
+    _note("device-only track loop")
     track_device_ms = _bench_track_device(est, K, rgb, depth)
 
     # neural-field training throughput (rays/s at the reference's 2048-ray,
     # 256-samples-per-ray budget), steady-state, per encoder
+    _note("field training bench")
     field = _bench_field()
     field_rays_per_s = field["triplane"]
 
@@ -155,8 +170,9 @@ def main():
                 "track_device_ms": round(track_device_ms, 2),
                 "field_rays_per_s": round(field_rays_per_s, 0),
                 "field_rays_per_s_hash": round(field["hash"], 0),
-                "field_bench_method": "200 steps steady-state after 20-step "
-                "warmup, async dispatch, 2048 rays x 256 samples",
+                "field_bench_method": "steady-state after 10-step warmup, "
+                "async dispatch, 2048 rays x 256 samples; triplane 200 "
+                "steps, hash 30 (hash is ~70x slower at this budget)",
                 "n_hypotheses": int(n_hyp),
                 "compile_s": round(compile_s, 1),
                 "track_compile_s": round(track_compile_s, 1),
@@ -290,17 +306,22 @@ def _bench_field():
     poses[:, :3, 3] = o
     occ = rng.uniform(-0.6, 0.6, (2048, 3))
     out = {}
-    for encoder in ("triplane", "hash"):
+    # triplane (the default encoder) gets the full 200-step steady-state
+    # measurement; hash gets 30 steps — it is ~10x slower per step at this
+    # budget and 200 steps would dominate the whole bench wall time
+    for encoder, n in (("triplane", 200), ("hash", 30)):
         cfg = FieldConfig(n_step=1, encoder=encoder)
         runner = NeRFRunnerTPU(
             cfg, rgbs, depths, masks, poses, K, occ, 1.0, np.zeros(3)
         )
-        runner.train(n_step=20, log_every=10**9)  # compile + warm the queue
-        n = 200
+        _note(f"field[{encoder}]: compiling + warmup")
+        runner.train(n_step=10, log_every=10**9)  # compile + warm the queue
+        _note(f"field[{encoder}]: timing {n} steps")
         t0 = _time.perf_counter()
         runner.train(n_step=n, log_every=10**9)
         dt = _time.perf_counter() - t0
         out[encoder] = n * cfg.n_rand / dt
+        _note(f"field[{encoder}]: {out[encoder]:.0f} rays/s")
         del runner
     return out
 

@@ -45,9 +45,9 @@ def _auc(errs, max_val=0.1):
 
 
 def _register_block(suite, renderers, make_estimator, est_cfg, schedules,
-                    scene_filter=None):
-    out = {}
-    for sched_name, sched_kw in schedules.items():
+                    scene_filter=None, progress_cb=None, out=None):
+    out = {} if out is None else out  # filled in place so incremental
+    for sched_name, sched_kw in schedules.items():  # checkpoints see it
         cfg = dataclasses.replace(est_cfg, **sched_kw)
         per_scene = {}
         pooled_adds, pooled_add = [], []
@@ -96,6 +96,8 @@ def _register_block(suite, renderers, make_estimator, est_cfg, schedules,
             "overall_auc_adds": _auc(pooled_adds),
             "overall_auc_add": _auc(pooled_add),
         }
+        if progress_cb:
+            progress_cb()
     return out
 
 
@@ -181,6 +183,13 @@ def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
         "modes": {},
     }
 
+    def checkpoint():
+        # incremental write: a partially-complete run still leaves a valid
+        # artifact if the driver cuts the round mid-suite
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+
     # ---- geometric mode: shared projective-ICP refiner/scorer ----
     if "geometric" in modes:
         gcfg = GeometricConfig(input_size=input_size)
@@ -192,11 +201,15 @@ def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
                 refiner=g_ref, scorer=g_sco,
             )
 
-        block = {"register": _register_block(
-            suite, renderers, make_geo, est_cfg, schedules)}
+        block = {"register": {}}
+        results["modes"]["geometric"] = block
+        _register_block(
+            suite, renderers, make_geo, est_cfg, schedules,
+            progress_cb=checkpoint, out=block["register"])
+        checkpoint()
         if track:
             block["track"] = _track_block(suite, renderers, make_geo, est_cfg)
-        results["modes"]["geometric"] = block
+            checkpoint()
 
     # ---- learned mode: per-mesh synthetically-trained nets ----
     if "learned" in modes:
@@ -242,14 +255,18 @@ def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
             )
 
         sel = lambda spec: spec.learned
-        block = {"register": _register_block(
+        block = {"meta": {"px": learned_px, "steps": list(learned_steps)}}
+        results["modes"]["learned"] = block
+        block["register"] = {}
+        _register_block(
             suite, renderers, make_learned, est_cfg,
-            _schedules(learned_px), scene_filter=sel)}
+            _schedules(learned_px), scene_filter=sel, progress_cb=checkpoint,
+            out=block["register"])
+        checkpoint()
         if track:
             block["track"] = _track_block(
                 suite, renderers, make_learned, est_cfg, scene_filter=sel)
-        block["meta"] = {"px": learned_px, "steps": list(learned_steps)}
-        results["modes"]["learned"] = block
+            checkpoint()
 
     # ---- headline comparisons the VERDICT asks for ----
     summary = {}
