@@ -331,3 +331,49 @@ def test_cross_mesh_program_sharing():
     # second mesh (different diameter, verts, faces — same buckets) must not
     # have added any compiled program
     assert sizes[1] == sizes[0], f"program cache grew: {sizes}"
+
+
+def test_icp_capture_range_covers_median_depth_bias():
+    """Regression: the translation guess seeds z at the MEDIAN MASKED DEPTH
+    (the visible front surface), which for a convex object sits ~D/4 in
+    front of the center. The ICP anneal must start wide enough to capture
+    that bias — with the old tau0 = 0.1*D start a sphere had ZERO inliers at
+    the seed and the refiner returned it unchanged (caught by a TPU drive,
+    round 4)."""
+    from foundationpose_tpu.engine.geometric import (
+        GeometricConfig, GeometricRefiner)
+
+    K = np.array([[150.0, 0, 48], [0, 150.0, 36], [0, 0, 1]])
+    HW = (72, 96)
+    mesh = meshio.make_icosphere_mesh(subdivisions=2, radius=0.05)
+    mesh.vertex_colors = np.full((len(mesh.vertices), 3), 160, np.uint8)
+    gt = np.eye(4)
+    gt[:3, 3] = [0.01, -0.01, 0.5]
+    mt = raster.make_mesh_tensors(mesh)
+    f = raster.render_full_frame(mt, gt[None], K, HW)
+    depth = np.asarray(f["depth"][0])
+    rgb = np.asarray(f["rgb"][0]) * 255.0
+    mask = np.asarray(f["mask"][0])
+    diameter = meshio.compute_mesh_diameter(mesh=mesh)
+
+    # seed exactly how register seeds: bbox-center ray x median masked depth
+    valid = (mask > 0) & (depth >= 0.001)
+    z_med = np.median(depth[valid])
+    seed = gt.copy()
+    seed[:3, 3] = [0.01, -0.01, z_med]  # ~D/4 in front of the true center
+    bias = gt[2, 3] - z_med
+    assert bias > 0.05 * diameter, "scene no longer exercises the bias"
+
+    import jax.numpy as jnp
+
+    xyz_map = np.asarray(geo.depth2xyzmap(
+        jnp.asarray(depth, jnp.float32), jnp.asarray(K, jnp.float32)))
+    ref = GeometricRefiner(GeometricConfig(input_size=48))
+    refined = np.asarray(ref.predict(
+        mt, rgb, xyz_map, K, seed[None].astype(np.float32), float(diameter),
+        iteration=5,
+    ))[0]
+    t_err = np.linalg.norm(refined[:3, 3] - gt[:3, 3])
+    assert t_err < 0.25 * bias, (
+        f"ICP left {t_err:.4f} of the {bias:.4f} z-seed bias uncorrected"
+    )
