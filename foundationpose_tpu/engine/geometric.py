@@ -183,9 +183,15 @@ def _point_to_plane_delta(p, q, n, w, mu=0.2, damping=1e-6):
 @functools.partial(jax.jit, static_argnames=("cfg", "iteration"))
 def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iteration):
     """Projective point-to-plane ICP over the hypothesis batch with an
-    annealed inlier threshold (coarse association first, tight last)."""
+    ADAPTIVE per-hypothesis inlier threshold (trimmed-ICP style): tau scales
+    with the current mean association error, so a register seed sitting a
+    quarter-diameter off (the median-depth z bias) still captures inliers,
+    while a tracking correction of a millimetre associates tightly from the
+    first iteration. A fixed global anneal cannot do both: 0.1*D starts
+    below the register bias (zero inliers -> stuck), 0.3*D starts far above
+    a tracking residual (sloppy association -> drift)."""
 
-    def one_iter(poses, tau):
+    def one_iter(poses, _):
         data = make_crop_batch(
             mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
             crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
@@ -200,7 +206,14 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
         validA = data["mask"][..., None] & (xyzA[..., 2:3] > 0.001)
         validB = xyzB[..., 2:3] > 0.001
         err = jnp.linalg.norm(xyzA - xyzB, axis=-1, keepdims=True)
-        w = (validA & validB & (err < tau)).astype(jnp.float32)[..., 0]
+        valid = (validA & validB).astype(jnp.float32)
+        # per-hypothesis adaptive threshold: 2x the tau0-capped mean error
+        # of valid associations, clipped to [tau1, tau0] (outliers beyond
+        # tau0 — background, occluders — can't inflate the cap)
+        n_valid = jnp.maximum(valid.sum(axis=(1, 2, 3)), 1.0)  # (B,)
+        e_mean = (valid * jnp.minimum(err, tau0)).sum(axis=(1, 2, 3)) / n_valid
+        tau = jnp.clip(2.0 * e_mean, tau1, tau0)[:, None, None, None]
+        w = (valid * (err < tau))[..., 0]
 
         def solve(xa, xb, nn, ww):
             return _point_to_plane_delta(
@@ -213,12 +226,7 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
     tau0 = cfg.tau0_rel * mesh_diameter
     tau1 = 0.5 * cfg.tau_rel * mesh_diameter
 
-    def body(i, p):
-        frac = i.astype(jnp.float32) / max(iteration - 1, 1)
-        tau = tau0 * (tau1 / tau0) ** frac  # geometric anneal
-        return one_iter(p, tau)
-
-    return jax.lax.fori_loop(0, iteration, body, poses)
+    return jax.lax.fori_loop(0, iteration, lambda i, p: one_iter(p, i), poses)
 
 
 class GeometricScorer:
