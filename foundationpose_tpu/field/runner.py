@@ -82,12 +82,14 @@ class FieldConfig:
     feature_grid_dim: int = 2
     # positional encoder: "triplane" = TPU-native matmul-only encoder (see
     # field/encoders.py); "hash" = reference-parity instant-ngp grid, whose
-    # gather/scatter XLA lowering serializes on TPU. Measured head-to-head on
-    # the same synthetic scene (scripts/bench_encoders.py, v5e, 1500 steps):
-    # triplane 486k rays/s vs hash 46k (10.5x), surface error 40.9 vs
-    # 39.8 mm (2.7% apart, both floor-limited by mesh_resolution), SDF sign
-    # correctness 1.0 for both, pose drift 11.7 vs 9.2 mm — quality parity
-    # at an order of magnitude more throughput
+    # gather/scatter XLA lowering serializes on TPU. Evidence for the
+    # triplane default: (a) 3-scene head-to-head (scripts/bench_encoders.py
+    # --scenes 3, v5e, 1500 steps): triplane ~486k rays/s vs hash ~46k
+    # (10.5x) at quality parity (surface error within 3%, SDF sign
+    # correctness 1.0 both, comparable pose drift); (b) at the reference's
+    # full 2048-ray x 256-sample budget the gap widens to ~70x — 21.9k vs
+    # 311 rays/s steady-state (BENCH_r04, bench.py `_bench_field`) — because
+    # the hash backward's sort+segment_sum scales with total samples
     encoder: str = "triplane"
     triplane_resolutions: tuple = (16, 32, 64, 128)
     triplane_channels: int = 4
