@@ -228,9 +228,25 @@ def _bench_stages(est, K, rgb, depth, n_hyp, n_rep=5):
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n_rep * 1e3
 
+    # the refine body consumes BOTH crop sides: inputA (render) and inputB
+    # (observed-frame warps). raster_crop_all keeps the round-1..3-comparable
+    # render-side-only figure (XLA dead-code-eliminates the warps when only
+    # inputA is requested); crop_ab_all is the honest per-iteration cost.
+    crop_ab_fn = jax.jit(
+        lambda p: [
+            make_crop_batch(
+                est.mesh_tensors, p, K_j, rgb_j, xyz_map, diameter,
+                out_size=S, use_pallas=bool(est.refiner.cfg.use_pallas),
+                backface_cull=est.refiner.cfg.backface_cull,
+            )[k]
+            for k in ("inputA", "inputB")
+        ]
+    )
+
     stage = {}
     stage["raster_crop_all"] = timeit(crop_fn, poses)
     stage["raster_crop_1"] = timeit(crop_fn, poses[:1])
+    stage["crop_ab_all"] = timeit(crop_ab_fn, poses)
 
     data = crop_fn(poses)
     A = jnp.asarray(data)
