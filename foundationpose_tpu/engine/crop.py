@@ -68,15 +68,16 @@ def make_crop_batch(
     if use_pallas:
         from foundationpose_tpu.ops.raster_pallas import render_crops_pallas
 
-        # out_bf16 halves the kernel's output DMA. Table-fetched values are
-        # bf16-exact, but interpolated xyz/rgb are f32 blends of bf16 corners,
-        # so the output re-round adds up to ~0.4% quantization on top of the
-        # table's own — measured register t-err parity is unaffected
-        # (scripts/sweep_raster.py)
+        # out_bf16 halves the kernel's output DMA. The plane-form kernel
+        # emits per-pixel NUMERATOR/denominator channels in the output
+        # dtype, so bf16 re-rounds them to ~2^-9 relative after the divide:
+        # fine for xyz (planes are pose-centered, error stays sub-mm) and
+        # rgb (<1/255), NOT fine for texture uv, where 2^-9 of a 2K texture
+        # is ~4 texels — textured meshes keep the f32 output path.
         r = render_crops_pallas(
             mesh_tensors, poses, K, tfs, out_hw=(S, S), use_light=True,
             backface_cull=backface_cull, with_normal=use_normal,
-            out_bf16=not use_normal,
+            out_bf16=not use_normal and "tex" not in mesh_tensors,
         )
     else:
         r = raster.render_crops(
@@ -135,6 +136,12 @@ def make_crop_batch(
         "depthA": r["depth"],
         "tf_to_crops": tfs,
         "mask": r["mask"],
+        # exactly-warped observed-pixel validity. Consumers must use THIS
+        # rather than re-thresholding xyzB z: on the bf16 warp path an
+        # invalid (xyz=0) source pixel round-trips to z = c_bar.z rounding
+        # error (up to ~2 mm), which can land on either side of any
+        # z-threshold depending on where the scene sits on the bf16 grid.
+        "validB": validB,
     }
     if use_normal:
         out["normalA"] = r["normal"]

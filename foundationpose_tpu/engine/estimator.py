@@ -276,6 +276,18 @@ class FoundationPoseTPU:
         hypothesis shard; XLA inserts the cross-pose all-gather the scorer's
         hypothesis attention and the final ranking need."""
         self.cfg = config or EstimatorConfig()
+        # the Pallas raster's packed z-score reserves PACK_BITS-7 window
+        # bits, a hard face cap; validate here so the decimation bound and
+        # the kernel budget cannot drift apart silently
+        from foundationpose_tpu.ops import raster_pallas as _rp
+
+        _kernel_cap = _rp.FC * (1 << (_rp.PACK_BITS - 7))
+        if self.cfg.max_render_faces > _kernel_cap:
+            raise ValueError(
+                f"max_render_faces={self.cfg.max_render_faces} exceeds the "
+                f"Pallas raster packed-window budget ({_kernel_cap} = "
+                f"FC*2**(PACK_BITS-7)); lower it or raise PACK_BITS"
+            )
         self.device_mesh = device_mesh
         self.reset_object(mesh, symmetry_tfs)
         self.refiner = refiner or PoseRefiner(self.cfg.refiner)

@@ -204,7 +204,10 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
         xyzB = data["inputB"][..., 3:] + t  # observed, cam space
         nrmA = data["normalA"]
         validA = data["mask"][..., None] & (xyzA[..., 2:3] > 0.001)
-        validB = xyzB[..., 2:3] > 0.001
+        # the exactly-warped validity channel — NOT a z re-threshold, which
+        # the bf16 warp path breaks (invalid pixels round-trip to
+        # z = mean-translation rounding error, see crop.py)
+        validB = data["validB"]
         err = jnp.linalg.norm(xyzA - xyzB, axis=-1, keepdims=True)
         valid = (validA & validB).astype(jnp.float32)
         # per-hypothesis adaptive threshold: 2x the tau0-capped mean error
@@ -287,7 +290,7 @@ def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
     zA = data["inputA"][..., 5] + t[..., 2]
     zB = data["inputB"][..., 5] + t[..., 2]
     validA = data["mask"] & (zA > 0.001)
-    validB = zB > 0.001
+    validB = data["validB"][..., 0]  # exactly-warped validity (see crop.py)
     both = validA & validB
     inlier = both & (jnp.abs(zA - zB) < tau)
     # observed surface clearly in front of the render: hypothesis occupies

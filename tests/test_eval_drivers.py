@@ -110,6 +110,31 @@ def _small_configs():
     )
 
 
+def test_eval_bop_smoke(rendered_scene):
+    """Default-suite mechanical smoke of the BOP eval driver (round-4 ask
+    #9): register + track 2 frames at a tiny grid/resolution. Guards the
+    driver wiring (reader -> estimator -> metrics -> summary); the accuracy
+    statement lives in the slow test below."""
+    from foundationpose_tpu.apps.eval_bop import evaluate_scene
+    from foundationpose_tpu.engine.estimator import EstimatorConfig
+    from foundationpose_tpu.engine.geometric import GeometricConfig
+    from foundationpose_tpu.io.datareader import get_bop_reader
+
+    reader = get_bop_reader(rendered_scene)
+    summary = evaluate_scene(
+        reader, 1, mode="geometric", track=True, max_frames=2,
+        estimator_config=EstimatorConfig(
+            min_n_views=4, inplane_step=180, register_iterations=2,
+            track_iterations=1,
+        ),
+        geometric_config=GeometricConfig(input_size=32),
+    )
+    assert summary["n_frames"] == 2
+    assert 0.0 <= summary["adds_auc"] <= 1.0
+    assert all(np.isfinite(r["adds"]) for r in summary["frames"])
+    assert all(np.isfinite(r["add"]) for r in summary["frames"])
+
+
 @pytest.mark.slow
 def test_eval_bop_register_and_track(rendered_scene):
     """evaluate_scene end-to-end: register frame 0, track frames 1-2; the

@@ -46,6 +46,51 @@ def test_depth_map_mesh():
     assert dm.faces.max() < len(dm.vertices)
 
 
+def test_online_smoke():
+    """Default-suite mechanical smoke of the online model-free tracker
+    (round-4 ask #9): init + 2 steps + finalize on a tiny field config.
+    Guards the wiring; the drift/reconstruction accuracy statement lives in
+    the slow test below."""
+    mesh = l_mesh()
+    mt = raster.make_mesh_tensors(mesh)
+
+    def render_at(ob_in_cam):
+        out = raster.render_full_frame(
+            mt, ob_in_cam[None].astype(np.float32), K, HW
+        )
+        return (
+            (np.asarray(out["rgb"][0]) * 255).astype(np.float32),
+            np.asarray(out["depth"][0]).astype(np.float32),
+            np.asarray(out["mask"][0]).astype(np.uint8),
+        )
+
+    cfg = OnlineConfig(
+        keyframe_min_rot_deg=1.0, keyframe_min_trans=0.005,
+        retrain_every_keyframes=100, track_iterations=2, mesh_stride=4,
+        field=FieldConfig(
+            n_step=10, n_rand=256, n_samples=8, n_samples_around_depth=8,
+            num_levels=2, log2_hashmap_size=10, base_res=8, finest_res=16,
+            triplane_resolutions=(8, 16), triplane_channels=2,
+            trunc=0.02, occ_resolution=16, mask_dilate_first=8,
+            mask_dilate=6, mesh_resolution=0.02,
+        ),
+    )
+    tracker = ModelFreeTracker(K, cfg)
+    pose0 = np.eye(4)
+    pose0[:3, 3] = [0.0, 0.0, 0.45]
+    rgb, depth, mask = render_at(pose0)
+    tracker.init(rgb, depth, mask)
+    for i in (1, 2):
+        p = pose0.copy()
+        p[:3, :3] = np.asarray(geo.euler_matrix(0.0, 0.04 * i, 0.0))[:3, :3]
+        rgb, depth, mask = render_at(p)
+        tracker.step(rgb, depth, mask=mask)
+        assert np.isfinite(tracker.cam_in_ob).all()
+    mesh_rec, optimized = tracker.finalize(bake=False)
+    assert len(mesh_rec.faces) > 0
+    assert len(tracker.keyframes) >= 1
+
+
 @pytest.mark.slow
 def test_online_tracking_loop():
     mesh = l_mesh()
