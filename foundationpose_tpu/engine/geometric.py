@@ -80,6 +80,10 @@ class GeometricConfig:
     # a 0.1*D start (the old 2*tau_rel) left zero inliers on spheres and the
     # ICP stuck at the seed
     tau0_rel: float = 0.3
+    # scorer cross-check weights (see _geo_score): normal agreement breaks
+    # flipped-face ties, edge alignment breaks tangential-slide ties
+    w_normal: float = 0.3
+    w_edge: float = 0.3
     # raster backend: None = auto (Pallas on TPU, XLA elsewhere)
     use_pallas: bool | None = None
     # drop camera-facing-away triangles (exact for closed CCW meshes)
@@ -277,18 +281,70 @@ class GeometricScorer:
         )
 
 
+def _normals_from_xyz(xyz, valid):
+    """Per-pixel surface normals of an organized xyz map by central
+    differences + cross product. Returns (..., H, W, 3) unit normals and a
+    validity mask (all four neighbours valid). Orientation: flipped to face
+    the camera (n_z < 0), matching rendered normals of visible surfaces."""
+    dx = jnp.roll(xyz, -1, axis=-2) - jnp.roll(xyz, 1, axis=-2)  # d/du
+    dy = jnp.roll(xyz, -1, axis=-3) - jnp.roll(xyz, 1, axis=-3)  # d/dv
+    vx = jnp.roll(valid, -1, axis=-2) & jnp.roll(valid, 1, axis=-2)
+    vy = jnp.roll(valid, -1, axis=-3) & jnp.roll(valid, 1, axis=-3)
+    n = jnp.cross(dx, dy)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # camera-facing: visible surfaces have normals with negative z in cam
+    n = jnp.where(n[..., 2:3] > 0, -n, n)
+    return n, valid & vx & vy
+
+
+def _edge_map(mask):
+    """Boolean boundary map of a (..., H, W) mask (4-neighbour erosion)."""
+    interior = (
+        mask
+        & jnp.roll(mask, 1, axis=-1) & jnp.roll(mask, -1, axis=-1)
+        & jnp.roll(mask, 1, axis=-2) & jnp.roll(mask, -1, axis=-2)
+    )
+    return mask & ~interior
+
+
+def _dilate(mask, r=1):
+    """(..., H, W) boolean dilation by a (2r+1) box."""
+    out = mask
+    for ax in (-1, -2):
+        for s in range(1, r + 1):
+            out = out | jnp.roll(out, s, axis=ax) | jnp.roll(out, -s, axis=ax)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
+    """Depth-consistency + normal-agreement + silhouette-edge score.
+
+    The depth terms alone cannot separate wrong-basin hypotheses whose
+    z-maps agree with the observation (flipped boxes, slid cylinders — the
+    round-4 register ceiling). Two geometric cross-checks break those ties,
+    mirroring the discriminative power the reference gets from its trained
+    scorer (predict_score.py:160-226):
+
+    - normal agreement: mean cosine between rendered normals and
+      central-difference normals of the observed xyz crop, over depth
+      inliers. A flipped face matches in z but not in orientation.
+    - edge alignment: fraction of rendered-silhouette-boundary pixels lying
+      within 1 px of an observed depth-discontinuity or validity edge. A
+      tangentially slid hypothesis keeps interior depth agreement but its
+      silhouette rim no longer lands on the observed rim.
+    """
     tau = cfg.tau_rel * mesh_diameter * 0.5
     data = make_crop_batch(
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
-        normalize_xyz=False, z_invalid_thres=0.001,
+        normalize_xyz=False, z_invalid_thres=0.001, use_normal=True,
         use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
     )
     t = poses[:, :3, 3][:, None, None, :]
+    xyzB = data["inputB"][..., 3:] + t
     zA = data["inputA"][..., 5] + t[..., 2]
-    zB = data["inputB"][..., 5] + t[..., 2]
+    zB = xyzB[..., 2]
     validA = data["mask"] & (zA > 0.001)
     validB = data["validB"][..., 0]  # exactly-warped validity (see crop.py)
     both = validA & validB
@@ -301,8 +357,32 @@ def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
     # violation since real depth maps have holes
     silhouette_miss = validA & ~validB
     nA = jnp.maximum(validA.sum(axis=(1, 2)), 1)
-    return (
+    depth_score = (
         inlier.sum(axis=(1, 2))
         - violation.sum(axis=(1, 2))
         - 0.5 * silhouette_miss.sum(axis=(1, 2))
     ) / nA
+
+    # normal agreement over depth inliers
+    nB, nB_valid = _normals_from_xyz(xyzB, validB)
+    cosine = jnp.sum(data["normalA"] * nB, axis=-1)
+    n_ok = inlier & nB_valid
+    cos_mean = (cosine * n_ok).sum(axis=(1, 2)) / jnp.maximum(
+        n_ok.sum(axis=(1, 2)), 1
+    )
+
+    # silhouette-edge alignment: rendered rim vs observed structure edges
+    # (depth discontinuity > tau between 4-neighbours, or validity edge)
+    edgeA = _edge_map(validA)
+    zB_safe = jnp.where(validB, zB, 0.0)
+    jump = jnp.zeros_like(validB)
+    for ax, s in ((-1, 1), (-1, -1), (-2, 1), (-2, -1)):
+        nb_z = jnp.roll(zB_safe, s, axis=ax)
+        nb_v = jnp.roll(validB, s, axis=ax)
+        jump = jump | (nb_v & (jnp.abs(zB_safe - nb_z) > tau)) | ~nb_v
+    edgeB = _dilate(validB & jump, r=1)
+    edge_hit = (edgeA & edgeB).sum(axis=(1, 2)) / jnp.maximum(
+        edgeA.sum(axis=(1, 2)), 1
+    )
+
+    return depth_score + cfg.w_normal * cos_mean + cfg.w_edge * edge_hit
