@@ -20,12 +20,16 @@ import sys
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="ACCURACY_r04.json")
+    ap.add_argument("--out", default="ACCURACY_r05.json")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--modes", default="geometric,learned")
     ap.add_argument("--steps-refiner", type=int, default=2000)
     ap.add_argument("--steps-scorer", type=int, default=4000)
     ap.add_argument("--no-track", action="store_true")
+    # object-agnostic checkpoint (scripts/train_agnostic.py output): learned
+    # mode then evaluates the ONE net pair on ALL scenes. "auto" uses
+    # weights/agnostic when present.
+    ap.add_argument("--agnostic-dir", default="auto")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="[%(funcName)s] %(message)s")
@@ -37,12 +41,21 @@ def main():
 
     from foundationpose_tpu.evalsuite.harness import run_accuracy
 
+    agnostic_dir = args.agnostic_dir
+    if agnostic_dir == "auto":
+        cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "weights", "agnostic")
+        agnostic_dir = cand if os.path.isdir(cand) else None
+    elif agnostic_dir in ("", "none"):
+        agnostic_dir = None
+
     results = run_accuracy(
         out_path=args.out,
         quick=args.quick,
         modes=tuple(args.modes.split(",")),
         learned_steps=(args.steps_refiner, args.steps_scorer),
         track=not args.no_track,
+        agnostic_dir=agnostic_dir,
     )
     print(json.dumps(results["summary"]))
 

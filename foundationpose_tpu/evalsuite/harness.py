@@ -151,11 +151,18 @@ def _track_block(suite, renderers, make_estimator, est_cfg, scene_filter=None):
 
 def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
                  input_size=160, learned_px=64, learned_steps=(2000, 4000),
-                 hyp_grid=None, track=True):
+                 hyp_grid=None, track=True, agnostic_dir=None):
     """Run the whole suite; returns (and optionally writes) the results dict.
 
     quick=True: 2 scenes, 2 register poses, 6 track frames, small grids —
     the CPU smoke configuration used by tests.
+
+    ``agnostic_dir``: an object-agnostic checkpoint directory
+    (scripts/train_agnostic.py). When given, learned mode evaluates that ONE
+    RefineNet/ScoreNet pair on ALL scenes at the checkpoint's native
+    resolution — the reference's single-checkpoint protocol
+    (predict_pose_refine.py:93-147). Without it, learned mode falls back to
+    the round-4 per-scene synthetic training (3 scenes, ``learned_px``).
     """
     import jax
 
@@ -228,8 +235,64 @@ def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
             block["track"] = _track_block(suite, renderers, make_geo, est_cfg)
             checkpoint()
 
-    # ---- learned mode: per-mesh synthetically-trained nets ----
-    if "learned" in modes:
+    # ---- learned mode (agnostic): ONE net pair for every scene ----
+    if "learned" in modes and agnostic_dir:
+        import os
+
+        from foundationpose_tpu.engine.refiner import PoseRefiner, RefinerConfig
+        from foundationpose_tpu.engine.scorer import PoseScorer, ScorerConfig
+        from foundationpose_tpu.models import agnostic
+
+        if not os.path.isdir(agnostic_dir):
+            raise FileNotFoundError(
+                f"agnostic checkpoint dir not found: {agnostic_dir} "
+                "(run scripts/train_agnostic.py first)"
+            )
+        _, _, meta = agnostic.load_agnostic(agnostic_dir)
+        px = int(meta["input_size"])
+        params_r = agnostic.load_params_npz(
+            f"{agnostic_dir}/refiner.npz",
+            PoseRefiner(RefinerConfig(input_size=px)).params,
+        )
+        params_s = agnostic.load_params_npz(
+            f"{agnostic_dir}/scorer.npz",
+            PoseScorer(ScorerConfig(input_size=px, norm="group",
+                                    residual_attn=True)).params,
+        )
+
+        def make_learned(spec, cfg):
+            # fresh predictor objects per estimator (the estimator mutates
+            # predictor configs for backface culling), SHARED params
+            return FoundationPoseTPU(
+                spec.mesh, symmetry_tfs=spec.symmetry_tfs, config=cfg,
+                refiner=PoseRefiner(
+                    RefinerConfig(input_size=px, dtype="bfloat16"),
+                    params=params_r,
+                ),
+                scorer=PoseScorer(
+                    ScorerConfig(input_size=px, dtype="bfloat16",
+                                 norm="group", residual_attn=True),
+                    params=params_s,
+                ),
+            )
+
+        block = {"meta": {"px": px, "checkpoint": agnostic_dir,
+                          "object_agnostic": True,
+                          "train": {k: meta.get(k) for k in
+                                    ("n_meshes", "refiner", "scorer")}}}
+        results["modes"]["learned"] = block
+        block["register"] = {}
+        _register_block(
+            suite, renderers, make_learned, est_cfg, _schedules(px),
+            progress_cb=checkpoint, out=block["register"])
+        checkpoint()
+        if track:
+            block["track"] = _track_block(suite, renderers, make_learned,
+                                          est_cfg)
+            checkpoint()
+
+    # ---- learned mode (fallback): per-mesh synthetically-trained nets ----
+    elif "learned" in modes:
         from foundationpose_tpu.engine.refiner import PoseRefiner, RefinerConfig
         from foundationpose_tpu.engine.scorer import PoseScorer, ScorerConfig
         from foundationpose_tpu.models import datagen

@@ -49,9 +49,86 @@ def _perturb(key, poses, trans_scale, rot_scale):
     return geo.egocentric_delta_pose_to_pose(poses, dt, dR)
 
 
+def _augment_observed(key, rgb, xyz, mask, t, radius):
+    """Domain randomization of the OBSERVED crop (B side) so training
+    matches test conditions, where the crop window contains background,
+    clutter, sensor holes and occluders rather than a black void:
+
+    - background: random per-sample base color + pixel noise for rgb, and
+      random 3D points near/behind the object for xyz (teaches the nets to
+      ignore arbitrary off-object geometry — the normalize step only zeroes
+      points beyond 2 radii, so near-clutter survives exactly like at test);
+    - depth holes: coarse random dropout of xyz validity (sensor holes);
+    - occluder: a random rectangle IN FRONT of the object (rgb + xyz
+      replaced), the visible-mask occlusion case;
+    - rgb noise on every pixel.
+
+    rgb in [0,1]; xyz cam-space with invalid = 0. Returns (rgb, xyz)."""
+    B, S = rgb.shape[0], rgb.shape[1]
+    keys = jax.random.split(key, 10)
+    valid = xyz[..., 2:3] > 0.001
+
+    # background rgb: per-sample base color + noise
+    bg_col = jax.random.uniform(keys[0], (B, 1, 1, 3))
+    bg_rgb = jnp.clip(
+        bg_col + 0.15 * jax.random.normal(keys[1], (B, S, S, 3)), 0, 1
+    )
+    rgb = jnp.where(mask[..., None], rgb, bg_rgb)
+
+    # background xyz: random points around the object at depth offsets
+    # U(0.03, 0.5) behind the surface, half the samples inside the 2-radius
+    # normalization shell (surviving clutter), half beyond (zeroed)
+    dz = jax.random.uniform(keys[2], (B, S, S, 1), minval=0.03, maxval=0.5)
+    dxy = jax.random.uniform(
+        keys[3], (B, S, S, 2), minval=-2.0, maxval=2.0
+    ) * radius
+    bg_xyz = jnp.concatenate([t[:, None, None, :2] + dxy,
+                              t[:, None, None, 2:] + dz], axis=-1)
+    bg_on = jax.random.bernoulli(
+        keys[4], jax.random.uniform(keys[5], (B, 1, 1, 1), minval=0.3,
+                                    maxval=1.0), (B, S, S, 1)
+    )
+    xyz = jnp.where(valid, xyz, jnp.where(bg_on, bg_xyz, 0.0))
+
+    # sensor holes: coarse 8x8-block dropout of xyz
+    hole_p = jax.random.uniform(keys[6], (B, 1, 1), maxval=0.15)
+    hole = jax.random.bernoulli(keys[7], hole_p, (B, S // 8, S // 8))
+    hole = jnp.repeat(jnp.repeat(hole, 8, axis=1), 8, axis=2)[..., None]
+    xyz = jnp.where(hole, 0.0, xyz)
+
+    # occluder rectangle in front (prob 0.5 per sample)
+    u0 = jax.random.uniform(keys[8], (B, 4))  # cx, cy, w, h in [0,1]
+    ii = jax.lax.broadcasted_iota(jnp.float32, (B, S, S), 1) / S
+    jj = jax.lax.broadcasted_iota(jnp.float32, (B, S, S), 2) / S
+    half_w = 0.05 + 0.15 * u0[:, 2:3, None]
+    half_h = 0.05 + 0.15 * u0[:, 3:4, None]
+    inside = (
+        (jnp.abs(ii - u0[:, 1:2, None]) < half_h)
+        & (jnp.abs(jj - u0[:, 0:1, None]) < half_w)
+    )
+    occ_keys = jax.random.split(keys[9], 3)
+    occ_on = jax.random.bernoulli(occ_keys[0], 0.5, (B, 1, 1))
+    inside = (inside & occ_on)[..., None]
+    occ_col = jax.random.uniform(occ_keys[1], (B, 1, 1, 3))
+    occ_z = t[:, None, None, 2:] - jax.random.uniform(
+        occ_keys[2], (B, 1, 1, 1), minval=0.05, maxval=0.25
+    )
+    occ_xyz = jnp.concatenate(
+        [jnp.broadcast_to(t[:, None, None, :2], (B, S, S, 2)),
+         jnp.broadcast_to(occ_z, (B, S, S, 1))], axis=-1
+    )
+    rgb = jnp.where(inside, occ_col, rgb)
+    xyz = jnp.where(inside, occ_xyz, xyz)
+
+    rgb = jnp.clip(rgb + 0.02 * jax.random.normal(keys[1], rgb.shape), 0, 1)
+    return rgb, xyz
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("batch", "input_size", "normalize_xyz", "use_pallas"),
+    static_argnames=(
+        "batch", "input_size", "normalize_xyz", "use_pallas", "augment",
+    ),
 )
 def make_refine_batch(
     key,
@@ -65,11 +142,14 @@ def make_refine_batch(
     rot_scale=0.3490658503988659,  # 20 deg
     normalize_xyz=True,
     use_pallas=False,
+    augment=False,
 ):
     """Returns dict: A (B,S,S,6) hypothesis crops, B (B,S,S,6) observed crops,
-    trans_gt (B,3), rot_gt (B,3,3) — the egocentric deltas A->B."""
+    trans_gt (B,3), rot_gt (B,3,3) — the egocentric deltas A->B.
+    ``augment=True`` domain-randomizes the observed side (background,
+    holes, occluders — see _augment_observed)."""
     S = input_size
-    kp, kd, kn = jax.random.split(key, 3)
+    kp, kd, ka = jax.random.split(key, 3)
     gt = _sample_poses(kp, batch)
     hyp = _perturb(kd, gt, trans_scale, rot_scale)
 
@@ -79,6 +159,11 @@ def make_refine_batch(
     rB = render(mesh_tensors, gt, K, tfs, out_hw=(S, S), use_light=True)
 
     t = hyp[:, :3, 3]
+    rgbB, xyzB = rB["rgb"], rB["xyz"]
+    if augment:
+        rgbB, xyzB = _augment_observed(
+            ka, rgbB, xyzB, rB["mask"], t, mesh_diameter / 2.0
+        )
 
     def norm(xyz):
         invalid = xyz[..., 2:3] < 0.001
@@ -90,7 +175,7 @@ def make_refine_batch(
         return jnp.where(bad, 0.0, scaled)
 
     A = jnp.concatenate([rA["rgb"], norm(rA["xyz"])], axis=-1)
-    B = jnp.concatenate([rB["rgb"], norm(rB["xyz"])], axis=-1)
+    B = jnp.concatenate([rgbB, norm(xyzB)], axis=-1)
     trans_gt, rot_gt = geo.pose_to_egocentric_delta_pose(hyp, gt)
     return {"A": A, "B": B, "trans_gt": trans_gt, "rot_gt": rot_gt,
             "poseA": hyp, "poseB": gt}
@@ -98,7 +183,9 @@ def make_refine_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_hyp", "input_size", "normalize_xyz", "use_pallas"),
+    static_argnames=(
+        "n_hyp", "input_size", "normalize_xyz", "use_pallas", "augment",
+    ),
 )
 def make_score_batch(
     key,
@@ -113,11 +200,15 @@ def make_score_batch(
     rot_scale=0.9,
     normalize_xyz=True,
     use_pallas=False,
+    augment=False,
 ):
     """One frame with ``n_hyp`` perturbed hypotheses of one GT pose, plus
-    their ADD errors (ranking supervision, TrainingConfig 'pairwise_valid')."""
+    their ADD errors (ranking supervision, TrainingConfig 'pairwise_valid').
+    ``augment=True``: the shared observed frame gets ONE domain
+    randomization (same background/holes/occluder across the hypothesis
+    set, like a real frame)."""
     S = input_size
-    kp, kd = jax.random.split(key)
+    kp, kd, ka = jax.random.split(key, 3)
     gt = _sample_poses(kp, 1)
     gt = jnp.repeat(gt, n_hyp, axis=0)
     hyp = _perturb(kd, gt, trans_scale, rot_scale)
@@ -128,6 +219,15 @@ def make_score_batch(
     rB = render(mesh_tensors, gt, K, tfs, out_hw=(S, S), use_light=True)
 
     t = hyp[:, :3, 3]
+    rgbB, xyzB = rB["rgb"], rB["xyz"]
+    if augment:
+        # note: randomization is per-crop, not per-frame — crops of one
+        # hypothesis set see different backgrounds/occluders. Harsher than
+        # test conditions (scores must be background-invariant regardless),
+        # and much simpler than frame-coordinate-consistent noise.
+        rgbB, xyzB = _augment_observed(
+            ka, rgbB, xyzB, rB["mask"], t, mesh_diameter / 2.0
+        )
 
     def norm(xyz):
         invalid = xyz[..., 2:3] < 0.1
@@ -139,7 +239,7 @@ def make_score_batch(
         return jnp.where(bad, 0.0, scaled)
 
     A = jnp.concatenate([rA["rgb"], norm(rA["xyz"])], axis=-1)
-    B = jnp.concatenate([rB["rgb"], norm(rB["xyz"])], axis=-1)
+    B = jnp.concatenate([rgbB, norm(xyzB)], axis=-1)
     pts_h = geo.transform_pts(model_pts, hyp)
     pts_g = geo.transform_pts(model_pts, gt)
     adds = jnp.linalg.norm(pts_h - pts_g, axis=-1).mean(axis=-1)  # ADD per hyp

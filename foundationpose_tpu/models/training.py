@@ -65,6 +65,23 @@ def refiner_train_step(net, tx, params, opt_state, batch, mesh_diameter=0.2):
     return params, opt_state, loss
 
 
+@functools.partial(
+    jax.jit, static_argnames=("net", "tx"), donate_argnums=(2, 3)
+)
+def refiner_train_step_multimesh(net, tx, params, opt_state, batch,
+                                 mesh_diameter):
+    """Like refiner_train_step but with a TRACED mesh diameter: the
+    object-agnostic corpus trainer cycles through meshes with distinct
+    diameters every step, and a static diameter would compile one program
+    per mesh."""
+    loss, grads = jax.value_and_grad(
+        lambda p: refiner_loss(net, p, batch, mesh_diameter)
+    )(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 def scorer_loss(net, params, batch, mode="listwise", temperature=0.25):
     """Ranking supervision for the scorer: hypotheses with lower ADD score
     higher.
