@@ -81,15 +81,24 @@ class FieldConfig:
     finest_res: int = 512
     feature_grid_dim: int = 2
     # positional encoder: "triplane" = TPU-native matmul-only encoder (see
-    # field/encoders.py); "hash" = reference-parity instant-ngp grid, whose
-    # gather/scatter XLA lowering serializes on TPU. Evidence for the
-    # triplane default: (a) 3-scene head-to-head (scripts/bench_encoders.py
-    # --scenes 3, v5e, 1500 steps): triplane ~486k rays/s vs hash ~46k
-    # (10.5x) at quality parity (surface error within 3%, SDF sign
-    # correctness 1.0 both, comparable pose drift); (b) at the reference's
-    # full 2048-ray x 256-sample budget the gap widens to ~70x — 21.9k vs
-    # 311 rays/s steady-state (BENCH_r04, bench.py `_bench_field`) — because
-    # the hash backward's sort+segment_sum scales with total samples
+    # field/encoders.py); "hash" = reference-parity instant-ngp grid
+    # (gridencoder.cu:95-244 semantics), RETIRED as a production mode on
+    # TPU — kept only as a numerical-parity reference. Evidence (recorded,
+    # not revisable without new measurements): (a) 3-scene head-to-head
+    # (scripts/bench_encoders.py --scenes 3, v5e, 1500 steps): triplane
+    # ~486k rays/s vs hash ~46k (10.5x) at quality parity (surface error
+    # within 3%, SDF sign correctness 1.0 both, comparable pose drift);
+    # (b) at the reference's full 2048-ray x 256-sample budget the gap is
+    # ~70x — 21.9k vs 311 rays/s steady-state (BENCH_r04) — because the
+    # per-sample 128 random HBM gathers (16 levels x 8 corners) and the
+    # scatter-add backward (XLA: sort + segment-sum over ~67M index/grad
+    # pairs per step) have no efficient mapping onto the TPU memory system:
+    # the 2^22-entry level tables exceed VMEM, so even a hand-written
+    # Pallas kernel is bound by the same random-access HBM latency the XLA
+    # lowering pays. The triplane encoder IS the TPU-native answer to the
+    # same requirement (learned multiresolution spatial features): dense
+    # regular-access arrays, MXU-friendly, autodiff backward is a dense
+    # reduction. Selecting "hash" logs a warning pointing here.
     encoder: str = "triplane"
     triplane_resolutions: tuple = (16, 32, 64, 128)
     triplane_channels: int = 4
@@ -125,6 +134,14 @@ class NeRFRunnerTPU:
     def __init__(self, cfg: FieldConfig, rgbs, depths, masks, poses, K,
                  occ_points, sc_factor, translation):
         self.cfg = cfg
+        if cfg.encoder == "hash":
+            logging.warning(
+                "FieldConfig.encoder='hash' is retired as a production mode "
+                "on TPU (~70x slower than triplane at the reference budget, "
+                "BENCH_r04; see the FieldConfig.encoder docstring for the "
+                "recorded evidence). Use encoder='triplane' unless you need "
+                "instant-ngp numerical parity."
+            )
         self.sc_factor = float(sc_factor)
         self.translation = np.asarray(translation, dtype=np.float64)
         self.K = np.asarray(K, dtype=np.float64)
