@@ -15,6 +15,7 @@ the mesh diameter is a traced scalar (training.refiner_train_step_multimesh).
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -23,6 +24,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from foundationpose_tpu.core import meshio
 from foundationpose_tpu.models import corpus as corpus_mod, datagen, training
@@ -138,105 +140,218 @@ def prepare_corpus(n_meshes, seed=0, max_faces=4096, n_pts=512):
 
 # ---------------------------------------------------------------------------
 # training drivers
+#
+# Dispatch discipline: the TPU is remote-attached (~29 ms per dispatch), so
+# a per-step host loop (2 dispatches/step) pays more for the link than for
+# the math (measured 0.19 s/step refiner, 0.49 s/step scorer). Training
+# therefore runs as lax.scan CHUNKS: corpus mesh tensors are stacked along a
+# leading axis, the scan body picks a random mesh index per step
+# (dynamic-indexed tree), generates the batch, and applies the update — one
+# dispatch per `chunk` steps. Meshes with/without texture form two stacked
+# groups (different pytrees -> two compiled programs) and chunks alternate
+# between groups proportionally.
+
+
+def _stack_groups(prepped):
+    """Group prepped meshes by pytree structure (textured / vertex-colored)
+    and stack each group's tensors along a new leading axis."""
+    groups = []
+    for flag in (False, True):
+        sel = [p for p in prepped if p["textured"] == flag]
+        if not sel:
+            continue
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[p["mt"] for p in sel])
+        groups.append({
+            "mt": stacked,
+            "diameters": jnp.asarray([p["diameter"] for p in sel], jnp.float32),
+            "pts": jnp.asarray(np.stack([p["pts"] for p in sel])),
+            "n": len(sel),
+        })
+    return groups
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "tx", "batch", "input_size", "chunk", "use_pallas"),
+    donate_argnums=(2, 3),
+)
+def _refiner_chunk(net, tx, params, opt_state, key, stacked_mt, diameters, K,
+                   batch, input_size, chunk, use_pallas):
+    def body(carry, k):
+        params, opt_state = carry
+        km, kb = jax.random.split(k)
+        mi = jax.random.randint(km, (), 0, diameters.shape[0])
+        mt = jax.tree.map(lambda a: a[mi], stacked_mt)
+        diameter = diameters[mi]
+        data = datagen.make_refine_batch(
+            kb, mt, K, diameter, batch=batch, input_size=input_size,
+            use_pallas=use_pallas, augment=True,
+        )
+        batch_t = {"A": data["A"], "B": data["B"],
+                   "trans_gt": data["trans_gt"], "rot_gt": data["rot_gt"]}
+        loss, grads = jax.value_and_grad(
+            lambda p: training.refiner_loss(net, p, batch_t, diameter)
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    keys = jax.random.split(key, chunk)
+    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+    return params, opt_state, losses
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "tx", "n_hyp", "input_size", "chunk", "use_pallas"),
+    donate_argnums=(2, 3),
+)
+def _scorer_chunk(net, tx, params, opt_state, key, stacked_mt, diameters,
+                  model_pts, K, n_hyp, input_size, chunk, use_pallas):
+    def body(carry, k):
+        params, opt_state = carry
+        km, kb = jax.random.split(k)
+        mi = jax.random.randint(km, (), 0, diameters.shape[0])
+        mt = jax.tree.map(lambda a: a[mi], stacked_mt)
+        data = datagen.make_score_batch(
+            kb, mt, K, diameters[mi], model_pts[mi], n_hyp=n_hyp,
+            input_size=input_size, use_pallas=use_pallas, augment=True,
+        )
+        batch_t = {"A": data["A"], "B": data["B"], "adds": data["adds"]}
+        loss, grads = jax.value_and_grad(
+            lambda p: training.scorer_loss(net, p, batch_t)
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    keys = jax.random.split(key, chunk)
+    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+    return params, opt_state, losses
+
+
+def _run_chunked(step_fn_per_group, groups, params, opt_state, steps, chunk,
+                 seed, tag, log_cb, t0):
+    """Alternate scan chunks across groups, weighted by group size."""
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    done = 0
+    gi = 0
+    weights = np.array([g["n"] for g in groups], np.float64)
+    weights = weights / weights.sum()
+    # deterministic proportional interleave of group chunks
+    sched = []
+    n_chunks = (steps + chunk - 1) // chunk
+    acc = np.zeros(len(groups))
+    for _ in range(n_chunks):
+        acc += weights
+        gi = int(np.argmax(acc))
+        acc[gi] -= 1.0
+        sched.append(gi)
+    for ci, gi in enumerate(sched):
+        key, kc = jax.random.split(key)
+        params, opt_state, chunk_losses = step_fn_per_group[gi](
+            params, opt_state, kc
+        )
+        # sync EVERY chunk: a ~29 ms link round trip per 25 steps is ~1 ms/
+        # step, and the deep async dispatch pipeline (hundreds of queued
+        # chunk executions) wedged the remote-attached link twice mid-run
+        # (host futex-blocked, device silent) — shallow queues are the
+        # proven-stable regime on this tunnel
+        losses.append(np.asarray(chunk_losses))
+        done += chunk
+        if log_cb and (ci % max(1, len(sched) // 20) == 0 or ci == len(sched) - 1):
+            l = float(np.mean(losses[-1]))
+            logging.info("%s step %d loss %.4f (%.0fs)", tag, done, l,
+                         time.time() - t0)
+            log_cb(done, l)
+    all_losses = np.concatenate(losses)
+    return params, opt_state, all_losses
 
 
 def train_agnostic_refiner(prepped, K, steps=20000, batch=32, input_size=160,
-                           lr=3e-4, seed=0, use_pallas=None, log_every=200,
+                           lr=2e-4, seed=0, use_pallas=None, chunk=25,
                            log_cb=None):
-    """ONE RefineNet over the whole corpus. Returns (net, params, stats)."""
-    import optax
+    """ONE RefineNet over the whole corpus. Returns (net, params, stats).
 
+    f32 compute + NaN-skipping optimizer: the bf16 run diverged mid-training
+    (loss 0.06 -> 0.17 -> NaN around the lr peak on the augmented corpus);
+    f32 at lr 2e-4 matches the round-4 recipe that trained stably, and
+    apply_if_finite drops any residual non-finite update instead of
+    poisoning the params permanently."""
     from foundationpose_tpu.models.refine_net import RefineNet
 
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    net = RefineNet(c_in=6, dtype=jnp.bfloat16)
+    net = RefineNet(c_in=6, dtype=jnp.float32)
     dummy = jnp.zeros((1, input_size, input_size, 6))
     params = net.init(jax.random.PRNGKey(seed), dummy, dummy)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, min(500, max(steps // 20, 1)), steps, lr * 0.02
     )
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched)),
+        max_consecutive_errors=200,
+    )
     opt_state = tx.init(params)
-    key = jax.random.PRNGKey(seed + 1)
+    groups = _stack_groups(prepped)
     K_j = jnp.asarray(K, jnp.float32)
-    losses, t0 = [], time.time()
-    for it in range(steps):
-        p = prepped[it % len(prepped)]
-        key, kb = jax.random.split(key)
-        data = datagen.make_refine_batch(
-            kb, p["mt"], K_j, p["diameter"], batch=batch,
-            input_size=input_size, use_pallas=use_pallas, augment=True,
-        )
-        params, opt_state, loss = training.refiner_train_step_multimesh(
-            net, tx, params, opt_state,
-            {"A": data["A"], "B": data["B"],
-             "trans_gt": data["trans_gt"], "rot_gt": data["rot_gt"]},
-            jnp.float32(p["diameter"]),
-        )
-        losses.append(loss)
-        if it % log_every == 0:
-            l = float(loss)
-            logging.info("refiner[agnostic] step %d loss %.4f (%.0fs)",
-                         it, l, time.time() - t0)
-            if log_cb:
-                log_cb(it, l)
-    losses = [float(l) for l in losses]
+    t0 = time.time()
+    step_fns = [
+        (lambda g: lambda p, o, k: _refiner_chunk(
+            net, tx, p, o, k, g["mt"], g["diameters"], K_j,
+            batch, input_size, chunk, use_pallas))(g)
+        for g in groups
+    ]
+    params, opt_state, losses = _run_chunked(
+        step_fns, groups, params, opt_state, steps, chunk, seed + 1,
+        "refiner[agnostic]", log_cb, t0,
+    )
     stats = {"loss_first": float(np.mean(losses[:50])),
              "loss_last": float(np.mean(losses[-50:])),
-             "steps": steps, "seconds": round(time.time() - t0, 1)}
+             "steps": int(len(losses)), "seconds": round(time.time() - t0, 1)}
     return net, params, stats
 
 
 def train_agnostic_scorer(prepped, K, steps=15000, n_hyp=16, input_size=160,
-                          lr=1e-3, seed=0, use_pallas=None, log_every=200,
-                          log_cb=None):
+                          lr=5e-4, seed=0, use_pallas=None, chunk=25,
+                          dtype=jnp.float32, log_cb=None):
     """ONE ScoreNetMultiPair over the whole corpus (group-norm from-scratch
     variant, the validated training architecture — datagen.py notes).
-    f32 compute: the listwise-CE ranking loss is scale-sensitive and the
-    validated from-scratch recipe is f32 (bf16 shows badly-scaled early
-    logits); the refiner's L2 regression trains fine in bf16."""
-    import optax
-
+    f32 compute (the round-4 validated recipe; the refiner's bf16 run
+    diverged on this corpus) + NaN-skipping optimizer."""
     from foundationpose_tpu.models.score_net import ScoreNetMultiPair
 
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    net = ScoreNetMultiPair(c_in=6, dtype=jnp.float32, norm="group",
+    net = ScoreNetMultiPair(c_in=6, dtype=dtype, norm="group",
                             residual_attn=True)
     dummy = jnp.zeros((2, input_size, input_size, 6))
     params = net.init(jax.random.PRNGKey(seed), dummy, dummy, 2)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, min(500, max(steps // 20, 1)), steps, lr * 0.02
     )
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched)),
+        max_consecutive_errors=200,
+    )
     opt_state = tx.init(params)
-    key = jax.random.PRNGKey(seed + 2)
+    groups = _stack_groups(prepped)
     K_j = jnp.asarray(K, jnp.float32)
-    losses, t0 = [], time.time()
-    for it in range(steps):
-        p = prepped[it % len(prepped)]
-        key, kb = jax.random.split(key)
-        data = datagen.make_score_batch(
-            kb, p["mt"], K_j, p["diameter"], jnp.asarray(p["pts"]),
-            n_hyp=n_hyp, input_size=input_size, use_pallas=use_pallas,
-            augment=True,
-        )
-        params, opt_state, loss = training.scorer_train_step(
-            net, tx, params, opt_state,
-            {"A": data["A"], "B": data["B"], "adds": data["adds"]},
-        )
-        losses.append(loss)
-        if it % log_every == 0:
-            l = float(loss)
-            logging.info("scorer[agnostic] step %d loss %.4f (%.0fs)",
-                         it, l, time.time() - t0)
-            if log_cb:
-                log_cb(it, l)
-    losses = [float(l) for l in losses]
+    t0 = time.time()
+    step_fns = [
+        (lambda g: lambda p, o, k: _scorer_chunk(
+            net, tx, p, o, k, g["mt"], g["diameters"], g["pts"], K_j,
+            n_hyp, input_size, chunk, use_pallas))(g)
+        for g in groups
+    ]
+    params, opt_state, losses = _run_chunked(
+        step_fns, groups, params, opt_state, steps, chunk, seed + 2,
+        "scorer[agnostic]", log_cb, t0,
+    )
     stats = {"loss_first": float(np.mean(losses[:50])),
              "loss_last": float(np.mean(losses[-50:])),
-             "steps": steps, "seconds": round(time.time() - t0, 1)}
+             "steps": int(len(losses)), "seconds": round(time.time() - t0, 1)}
     return net, params, stats
 
 

@@ -33,13 +33,19 @@ def main(argv=None):
     ap.add_argument("--n-meshes", type=int, default=40)
     ap.add_argument("--corpus-seed", type=int, default=7)
     ap.add_argument("--steps-refiner", type=int, default=20000)
-    ap.add_argument("--steps-scorer", type=int, default=12000)
+    ap.add_argument("--steps-scorer", type=int, default=10000)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-hyp", type=int, default=16)
     ap.add_argument("--input-size", type=int, default=160)
-    ap.add_argument("--lr-refiner", type=float, default=3e-4)
-    ap.add_argument("--lr-scorer", type=float, default=1e-3)
+    ap.add_argument("--lr-refiner", type=float, default=2e-4)
+    ap.add_argument("--lr-scorer", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-faces", type=int, default=2048,
+                    help="training render face budget (eval uses 4096; the "
+                    "nets are resolution/face-count independent)")
+    ap.add_argument("--chunk", type=int, default=25,
+                    help="lax.scan steps per dispatch (remote-TPU link "
+                    "amortization)")
     ap.add_argument("--cpu", action="store_true", help="force CPU (tests)")
     args = ap.parse_args(argv)
 
@@ -64,7 +70,9 @@ def main(argv=None):
     t0 = time.time()
     print(f"[train_agnostic] preparing {args.n_meshes}-mesh corpus",
           file=sys.stderr, flush=True)
-    prepped = agnostic.prepare_corpus(args.n_meshes, seed=args.corpus_seed)
+    prepped = agnostic.prepare_corpus(
+        args.n_meshes, seed=args.corpus_seed, max_faces=args.max_faces
+    )
     n_tex = sum(p["textured"] for p in prepped)
     print(f"[train_agnostic] corpus ready ({n_tex} textured) "
           f"+{time.time()-t0:.0f}s; training refiner", file=sys.stderr,
@@ -79,14 +87,14 @@ def main(argv=None):
     _, params_r, stats_r = agnostic.train_agnostic_refiner(
         prepped, K, steps=args.steps_refiner, batch=args.batch,
         input_size=args.input_size, lr=args.lr_refiner, seed=args.seed,
-        log_cb=cb("refiner"),
+        chunk=args.chunk, log_cb=cb("refiner"),
     )
     print(f"[train_agnostic] refiner done {stats_r}; training scorer",
           file=sys.stderr, flush=True)
     _, params_s, stats_s = agnostic.train_agnostic_scorer(
         prepped, K, steps=args.steps_scorer, n_hyp=args.n_hyp,
         input_size=args.input_size, lr=args.lr_scorer, seed=args.seed,
-        log_cb=cb("scorer"),
+        chunk=args.chunk, log_cb=cb("scorer"),
     )
     meta = {
         "input_size": args.input_size,
