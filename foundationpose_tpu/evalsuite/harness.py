@@ -236,11 +236,17 @@ def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
             checkpoint()
 
     # ---- learned mode (agnostic): ONE net pair for every scene ----
-    if "learned" in modes and agnostic_dir:
+    # "learned" = pure ScoreNet ranking; "learned_hybrid" = ScoreNet +
+    # geometric depth-consistency veto (engine.scorer.HybridScorer) — the
+    # shipping default, robust to clutter/occlusion where the pure net
+    # mis-ranks distractor-aligned hypotheses
+    if ({"learned", "learned_hybrid"} & set(modes)) and agnostic_dir:
         import os
 
         from foundationpose_tpu.engine.refiner import PoseRefiner, RefinerConfig
-        from foundationpose_tpu.engine.scorer import PoseScorer, ScorerConfig
+        from foundationpose_tpu.engine.scorer import (
+            HybridScorer, PoseScorer, ScorerConfig,
+        )
         from foundationpose_tpu.models import agnostic
 
         if not os.path.isdir(agnostic_dir):
@@ -260,36 +266,47 @@ def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
                                     residual_attn=True)).params,
         )
 
-        def make_learned(spec, cfg):
-            # fresh predictor objects per estimator (the estimator mutates
-            # predictor configs for backface culling), SHARED params
-            return FoundationPoseTPU(
-                spec.mesh, symmetry_tfs=spec.symmetry_tfs, config=cfg,
-                refiner=PoseRefiner(
-                    RefinerConfig(input_size=px, dtype="bfloat16"),
-                    params=params_r,
-                ),
-                scorer=PoseScorer(
+        def make_maker(hybrid):
+            def make_learned(spec, cfg):
+                # fresh predictor objects per estimator (the estimator
+                # mutates predictor configs for backface culling), SHARED
+                # params
+                scorer = PoseScorer(
                     ScorerConfig(input_size=px, dtype="bfloat16",
                                  norm="group", residual_attn=True),
                     params=params_s,
-                ),
-            )
+                )
+                if hybrid:
+                    scorer = HybridScorer(scorer)
+                return FoundationPoseTPU(
+                    spec.mesh, symmetry_tfs=spec.symmetry_tfs, config=cfg,
+                    refiner=PoseRefiner(
+                        RefinerConfig(input_size=px, dtype="bfloat16"),
+                        params=params_r,
+                    ),
+                    scorer=scorer,
+                )
+            return make_learned
 
-        block = {"meta": {"px": px, "checkpoint": agnostic_dir,
-                          "object_agnostic": True,
-                          "train": {k: meta.get(k) for k in
-                                    ("n_meshes", "refiner", "scorer")}}}
-        results["modes"]["learned"] = block
-        block["register"] = {}
-        _register_block(
-            suite, renderers, make_learned, est_cfg, _schedules(px),
-            progress_cb=checkpoint, out=block["register"])
-        checkpoint()
-        if track:
-            block["track"] = _track_block(suite, renderers, make_learned,
-                                          est_cfg)
+        for mode_name in ("learned", "learned_hybrid"):
+            if mode_name not in modes:
+                continue
+            maker = make_maker(hybrid=mode_name == "learned_hybrid")
+            block = {"meta": {"px": px, "checkpoint": agnostic_dir,
+                              "object_agnostic": True,
+                              "hybrid_scorer": mode_name == "learned_hybrid",
+                              "train": {k: meta.get(k) for k in
+                                        ("n_meshes", "refiner", "scorer")}}}
+            results["modes"][mode_name] = block
+            block["register"] = {}
+            _register_block(
+                suite, renderers, maker, est_cfg, _schedules(px),
+                progress_cb=checkpoint, out=block["register"])
             checkpoint()
+            if track:
+                block["track"] = _track_block(suite, renderers, maker,
+                                              est_cfg)
+                checkpoint()
 
     # ---- learned mode (fallback): per-mesh synthetically-trained nets ----
     elif "learned" in modes:
