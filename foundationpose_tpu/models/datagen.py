@@ -54,10 +54,13 @@ def _augment_observed(key, rgb, xyz, mask, t, radius):
     matches test conditions, where the crop window contains background,
     clutter, sensor holes and occluders rather than a black void:
 
-    - background: random per-sample base color + pixel noise for rgb, and
-      random 3D points near/behind the object for xyz (teaches the nets to
-      ignore arbitrary off-object geometry — the normalize step only zeroes
-      points beyond 2 radii, so near-clutter survives exactly like at test);
+    - background: random per-sample base color + pixel noise for rgb —
+      half the samples get a random CHECKERBOARD instead (structured
+      backgrounds like tabletops/backdrops must not read as object
+      texture) — and random 3D points near/behind the object for xyz
+      (teaches the nets to ignore arbitrary off-object geometry — the
+      normalize step only zeroes points beyond 2 radii, so near-clutter
+      survives exactly like at test);
     - depth holes: coarse random dropout of xyz validity (sensor holes);
     - occluder: a random rectangle IN FRONT of the object (rgb + xyz
       replaced), the visible-mask occlusion case;
@@ -65,14 +68,22 @@ def _augment_observed(key, rgb, xyz, mask, t, radius):
 
     rgb in [0,1]; xyz cam-space with invalid = 0. Returns (rgb, xyz)."""
     B, S = rgb.shape[0], rgb.shape[1]
-    keys = jax.random.split(key, 10)
+    keys = jax.random.split(key, 12)
     valid = xyz[..., 2:3] > 0.001
 
-    # background rgb: per-sample base color + noise
+    # background rgb: per-sample base color + noise, or a random checker
     bg_col = jax.random.uniform(keys[0], (B, 1, 1, 3))
     bg_rgb = jnp.clip(
         bg_col + 0.15 * jax.random.normal(keys[1], (B, S, S, 3)), 0, 1
     )
+    cell = jax.random.randint(keys[10], (B, 1, 1), 4, 40)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 2)
+    board = ((ii // cell + jj // cell) % 2)[..., None].astype(jnp.float32)
+    col2 = jax.random.uniform(keys[11], (B, 1, 1, 3))
+    checker_rgb = bg_col * board + col2 * (1.0 - board)
+    use_checker = jax.random.bernoulli(keys[10], 0.5, (B, 1, 1, 1))
+    bg_rgb = jnp.where(use_checker, checker_rgb, bg_rgb)
     rgb = jnp.where(mask[..., None], rgb, bg_rgb)
 
     # background xyz: random points around the object at depth offsets
@@ -124,6 +135,36 @@ def _augment_observed(key, rgb, xyz, mask, t, radius):
     return rgb, xyz
 
 
+def _composite_distractor(key, render_fn, mesh_tensors, K, tfs, gt_poses,
+                          mesh_diameter, rgbB, xyzB, maskB):
+    """Render the SAME mesh at a second nearby pose and z-composite it into
+    the observed crops (prob 0.6 per sample). This is the hardest clutter
+    negative there is — an identical-looking object 0.7-1.6 diameters away,
+    sometimes partially occluding the target — and exactly the eval-suite
+    condition the r5 nets failed on (coherent distractor objects in the
+    crop pulled refined hypotheses 30 cm off; random-noise backgrounds
+    never taught the nets to ignore coherent geometry)."""
+    B = gt_poses.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = jax.random.normal(k1, (B, 3)) * 2.0
+    dR = geo.so3_exp_map(w)
+    direction = jax.random.normal(k2, (B, 3)) * jnp.array([1.0, 1.0, 0.35])
+    direction = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-9
+    )
+    dist = jax.random.uniform(k3, (B, 1), minval=0.7, maxval=1.6)
+    dpose = gt_poses.at[:, :3, :3].set(dR)
+    dpose = dpose.at[:, :3, 3].add(direction * dist * mesh_diameter)
+    rD = render_fn(mesh_tensors, dpose, K, tfs)
+    on = jax.random.bernoulli(k2, 0.6, (B, 1, 1, 1))
+    oz = xyzB[..., 2:3]
+    dz = rD["xyz"][..., 2:3]
+    front = rD["mask"][..., None] & ((oz <= 0.001) | (dz < oz)) & on
+    rgb = jnp.where(front, rD["rgb"], rgbB)
+    xyz = jnp.where(front, rD["xyz"], xyzB)
+    return rgb, xyz, maskB | front[..., 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -161,8 +202,15 @@ def make_refine_batch(
     t = hyp[:, :3, 3]
     rgbB, xyzB = rB["rgb"], rB["xyz"]
     if augment:
+        ka_d, ka_o = jax.random.split(ka)
+        rgbB, xyzB, maskB = _composite_distractor(
+            ka_d,
+            lambda mt, p, k, tf: render(mt, p, k, tf, out_hw=(S, S),
+                                        use_light=True),
+            mesh_tensors, K, tfs, gt, mesh_diameter, rgbB, xyzB, rB["mask"],
+        )
         rgbB, xyzB = _augment_observed(
-            ka, rgbB, xyzB, rB["mask"], t, mesh_diameter / 2.0
+            ka_o, rgbB, xyzB, maskB, t, mesh_diameter / 2.0
         )
 
     def norm(xyz):
@@ -225,8 +273,15 @@ def make_score_batch(
         # hypothesis set see different backgrounds/occluders. Harsher than
         # test conditions (scores must be background-invariant regardless),
         # and much simpler than frame-coordinate-consistent noise.
+        ka_d, ka_o = jax.random.split(ka)
+        rgbB, xyzB, maskB = _composite_distractor(
+            ka_d,
+            lambda mt, p, k, tf: render(mt, p, k, tf, out_hw=(S, S),
+                                        use_light=True),
+            mesh_tensors, K, tfs, gt, mesh_diameter, rgbB, xyzB, rB["mask"],
+        )
         rgbB, xyzB = _augment_observed(
-            ka, rgbB, xyzB, rB["mask"], t, mesh_diameter / 2.0
+            ka_o, rgbB, xyzB, maskB, t, mesh_diameter / 2.0
         )
 
     def norm(xyz):
