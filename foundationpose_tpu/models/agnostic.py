@@ -230,12 +230,37 @@ def _scorer_chunk(net, tx, params, opt_state, key, stacked_mt, diameters,
     return params, opt_state, losses
 
 
+def _save_resume(path, params, opt_state, done, key):
+    state = {"params": params, "opt_state": opt_state,
+             "done": jnp.asarray(done), "key": key}
+    save_params_npz(path + ".tmp.npz", state, dtype=None)
+    os.replace(path + ".tmp.npz", path)
+
+
+def _load_resume(path, params, opt_state):
+    target = {"params": params, "opt_state": opt_state,
+              "done": jnp.asarray(0), "key": jax.random.PRNGKey(0)}
+    state = load_params_npz(path, target)
+    return (state["params"], state["opt_state"], int(state["done"]),
+            state["key"])
+
+
 def _run_chunked(step_fn_per_group, groups, params, opt_state, steps, chunk,
-                 seed, tag, log_cb, t0):
-    """Alternate scan chunks across groups, weighted by group size."""
+                 seed, tag, log_cb, t0, resume_path=None, ckpt_every=2500):
+    """Alternate scan chunks across groups, weighted by group size.
+
+    ``resume_path``: periodic (params, opt_state, step, key) snapshot; if
+    the file exists, training CONTINUES from it — the remote tunnel wedges
+    stochastically on long processes, so long runs are driven by an outer
+    retry loop around a resumable inner process."""
     key = jax.random.PRNGKey(seed)
     losses = []
     done = 0
+    if resume_path and os.path.exists(resume_path):
+        params, opt_state, done, key = _load_resume(
+            resume_path, params, opt_state
+        )
+        logging.info("%s resumed at step %d from %s", tag, done, resume_path)
     gi = 0
     weights = np.array([g["n"] for g in groups], np.float64)
     weights = weights / weights.sum()
@@ -249,6 +274,8 @@ def _run_chunked(step_fn_per_group, groups, params, opt_state, steps, chunk,
         acc[gi] -= 1.0
         sched.append(gi)
     for ci, gi in enumerate(sched):
+        if ci * chunk < done:
+            continue  # already trained before the resume point
         key, kc = jax.random.split(key)
         params, opt_state, chunk_losses = step_fn_per_group[gi](
             params, opt_state, kc
@@ -260,18 +287,22 @@ def _run_chunked(step_fn_per_group, groups, params, opt_state, steps, chunk,
         # proven-stable regime on this tunnel
         losses.append(np.asarray(chunk_losses))
         done += chunk
+        if resume_path and (done % ckpt_every < chunk):
+            _save_resume(resume_path, params, opt_state, done, key)
         if log_cb and (ci % max(1, len(sched) // 20) == 0 or ci == len(sched) - 1):
             l = float(np.mean(losses[-1]))
             logging.info("%s step %d loss %.4f (%.0fs)", tag, done, l,
                          time.time() - t0)
             log_cb(done, l)
-    all_losses = np.concatenate(losses)
+    all_losses = np.concatenate(losses) if losses else np.zeros(1)
+    if resume_path and os.path.exists(resume_path):
+        os.remove(resume_path)  # finished: the final checkpoint supersedes
     return params, opt_state, all_losses
 
 
 def train_agnostic_refiner(prepped, K, steps=20000, batch=32, input_size=160,
                            lr=2e-4, seed=0, use_pallas=None, chunk=25,
-                           log_cb=None):
+                           log_cb=None, resume_path=None):
     """ONE RefineNet over the whole corpus. Returns (net, params, stats).
 
     f32 compute + NaN-skipping optimizer: the bf16 run diverged mid-training
@@ -305,7 +336,7 @@ def train_agnostic_refiner(prepped, K, steps=20000, batch=32, input_size=160,
     ]
     params, opt_state, losses = _run_chunked(
         step_fns, groups, params, opt_state, steps, chunk, seed + 1,
-        "refiner[agnostic]", log_cb, t0,
+        "refiner[agnostic]", log_cb, t0, resume_path=resume_path,
     )
     stats = {"loss_first": float(np.mean(losses[:50])),
              "loss_last": float(np.mean(losses[-50:])),
@@ -315,7 +346,7 @@ def train_agnostic_refiner(prepped, K, steps=20000, batch=32, input_size=160,
 
 def train_agnostic_scorer(prepped, K, steps=15000, n_hyp=16, input_size=160,
                           lr=5e-4, seed=0, use_pallas=None, chunk=25,
-                          dtype=jnp.float32, log_cb=None):
+                          dtype=jnp.float32, log_cb=None, resume_path=None):
     """ONE ScoreNetMultiPair over the whole corpus (group-norm from-scratch
     variant, the validated training architecture — datagen.py notes).
     f32 compute (the round-4 validated recipe; the refiner's bf16 run
@@ -347,7 +378,7 @@ def train_agnostic_scorer(prepped, K, steps=15000, n_hyp=16, input_size=160,
     ]
     params, opt_state, losses = _run_chunked(
         step_fns, groups, params, opt_state, steps, chunk, seed + 2,
-        "scorer[agnostic]", log_cb, t0,
+        "scorer[agnostic]", log_cb, t0, resume_path=resume_path,
     )
     stats = {"loss_first": float(np.mean(losses[:50])),
              "loss_last": float(np.mean(losses[-50:])),

@@ -47,6 +47,13 @@ def main(argv=None):
                     help="lax.scan steps per dispatch (remote-TPU link "
                     "amortization)")
     ap.add_argument("--cpu", action="store_true", help="force CPU (tests)")
+    # resumable phases: the remote tunnel wedges stochastically on long
+    # processes. With --resume, finished phases (refiner.npz / scorer.npz
+    # present) are skipped and interrupted phases continue from the
+    # periodic resume snapshot. Outer retry loop:
+    #   for i in $(seq 8); do timeout 1500 python scripts/train_agnostic.py \
+    #       --resume --out weights/agnostic && break; done
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -84,30 +91,63 @@ def main(argv=None):
                   f"step {step} loss {loss:.4f}", file=sys.stderr, flush=True)
         return f
 
-    _, params_r, stats_r = agnostic.train_agnostic_refiner(
-        prepped, K, steps=args.steps_refiner, batch=args.batch,
-        input_size=args.input_size, lr=args.lr_refiner, seed=args.seed,
-        chunk=args.chunk, log_cb=cb("refiner"),
-    )
-    print(f"[train_agnostic] refiner done {stats_r}; training scorer",
-          file=sys.stderr, flush=True)
+    import numpy as _np
+
+    os.makedirs(args.out, exist_ok=True)
+    ref_path = os.path.join(args.out, "refiner.npz")
+    sco_path = os.path.join(args.out, "scorer.npz")
+    stats_path = os.path.join(args.out, "train_stats.json")
+    stats = (json.load(open(stats_path))
+             if args.resume and os.path.exists(stats_path) else {})
+
+    if args.resume and os.path.exists(ref_path) and "refiner" in stats:
+        print("[train_agnostic] refiner phase already done; skipping",
+              file=sys.stderr, flush=True)
+        from foundationpose_tpu.models.refine_net import RefineNet
+        import jax.numpy as jnp
+
+        net_r = RefineNet(c_in=6, dtype=jnp.float32)
+        dummy = jnp.zeros((1, args.input_size, args.input_size, 6))
+        import jax as _jax
+
+        params_r = agnostic.load_params_npz(
+            ref_path, net_r.init(_jax.random.PRNGKey(0), dummy, dummy)
+        )
+    else:
+        _, params_r, stats_r = agnostic.train_agnostic_refiner(
+            prepped, K, steps=args.steps_refiner, batch=args.batch,
+            input_size=args.input_size, lr=args.lr_refiner, seed=args.seed,
+            chunk=args.chunk, log_cb=cb("refiner"),
+            resume_path=os.path.join(args.out, "resume_refiner.npz"),
+        )
+        agnostic.save_params_npz(ref_path, params_r, dtype=_np.float16)
+        stats["refiner"] = stats_r
+        json.dump(stats, open(stats_path, "w"))
+        print(f"[train_agnostic] refiner done {stats_r}; training scorer",
+              file=sys.stderr, flush=True)
+
     _, params_s, stats_s = agnostic.train_agnostic_scorer(
         prepped, K, steps=args.steps_scorer, n_hyp=args.n_hyp,
         input_size=args.input_size, lr=args.lr_scorer, seed=args.seed,
         chunk=args.chunk, log_cb=cb("scorer"),
+        resume_path=os.path.join(args.out, "resume_scorer.npz"),
     )
+    agnostic.save_params_npz(sco_path, params_s, dtype=_np.float16)
+    stats["scorer"] = stats_s
+    json.dump(stats, open(stats_path, "w"))
     meta = {
         "input_size": args.input_size,
         "n_meshes": args.n_meshes,
         "corpus_seed": args.corpus_seed,
-        "refiner": stats_r,
+        "refiner": stats.get("refiner"),
         "scorer": stats_s,
         "K_train": K.tolist(),
         "note": "one net pair for every object (object-agnostic); "
                 "corpus meshes are random primitives/compounds held out "
                 "from the evaluation suite",
     }
-    agnostic.save_agnostic(args.out, params_r, params_s, meta)
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
     print(json.dumps(meta))
 
 
