@@ -271,10 +271,14 @@ def render_crops_pallas(
     w_diffuse=0.5,
     light_dir=(0.0, 0.0, 1.0),
     interpret=False,
-    # 2-row bands measured fastest at 160px crops (86 vs 100/113/128 ms for
-    # tile_rows 4/8/16, 252 poses, v5e, honest traced-args timing): the
-    # conservative contiguous chunk range stays tightest and pair work
-    # dominates, so smaller bands win
+    # 2-row bands measured fastest at 160px crops — re-confirmed round 5
+    # on the plane-form kernel (54.6 ms vs 59.5 / 67.5 / 78.2 for
+    # tile_rows 1/4/8; 252 poses, 1536-face bucket, bf16 out, cull, v5e,
+    # honest traced-args timing, scripts/probe_crop.py). The per-iteration
+    # crop cost is kernel-bound (the observed-side warps are ~7 ms
+    # combined and already fused into the same program); halving it
+    # further needs a kernel rearchitecture that amortizes per-band fixed
+    # work across MULTIPLE poses per invocation — recorded as future work.
     tile_rows=2,
     backface_cull=False,
     with_normal=True,
