@@ -126,3 +126,23 @@ def test_augmented_batch_invariants():
     assert np.abs(B[..., 3:]).max() < 2.0 + 1e-5
     # the background actually differs from the clean render
     assert np.abs(B - np.asarray(clean["B"])).max() > 0.05
+
+
+def test_shipped_checkpoint_loads_and_runs():
+    """The in-repo weights/agnostic artifact must stay loadable and produce
+    finite outputs — guards against a corrupt or structure-drifted shipped
+    checkpoint (the run_pose learned default depends on it)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(root, "weights", "agnostic")
+    if not os.path.isdir(ckpt):
+        pytest.skip("no shipped checkpoint in this tree")
+    refiner, scorer, meta = agnostic.load_agnostic(ckpt)
+    assert meta["input_size"] == 160
+    S = 160
+    dummy = jnp.zeros((2, S, S, 6))
+    out_r = refiner.net.apply(refiner.params, dummy, dummy)
+    assert np.isfinite(np.asarray(out_r["trans"])).all()
+    out_s = scorer.net.apply(scorer.params, dummy, dummy, 2)
+    assert np.isfinite(np.asarray(out_s["score_logit"])).all()
