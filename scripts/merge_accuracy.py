@@ -51,6 +51,17 @@ def main():
             summary["learned_track_median_ate_m"] = (
                 modes["learned"]["track"]["median_ate_m"]
             )
+    if "learned_hybrid" in modes:
+        blk = modes["learned_hybrid"]
+        summary["hybrid_full_auc_adds"] = (
+            blk["register"]["full"]["overall_auc_adds"]
+        )
+        summary["hybrid_funnel_auc_adds"] = (
+            blk["register"].get("funnel", {}).get("overall_auc_adds")
+        )
+        if "track" in blk:
+            summary["hybrid_track_auc_adds"] = blk["track"]["overall_auc_adds"]
+            summary["hybrid_track_median_ate_m"] = blk["track"]["median_ate_m"]
     if "geometric" in modes and "learned" in modes:
         g = modes["geometric"]["register"]["full"]["scenes"]
         l = modes["learned"]["register"]["full"]["scenes"]
