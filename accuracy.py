@@ -30,6 +30,9 @@ def main():
     # mode then evaluates the ONE net pair on ALL scenes. "auto" uses
     # weights/agnostic when present.
     ap.add_argument("--agnostic-dir", default="auto")
+    # comma-separated scene-name subset (full protocol, for targeted
+    # re-measurement); pooled numbers then cover only the subset
+    ap.add_argument("--scenes", default=None)
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="[%(funcName)s] %(message)s")
@@ -56,6 +59,7 @@ def main():
         learned_steps=(args.steps_refiner, args.steps_scorer),
         track=not args.no_track,
         agnostic_dir=agnostic_dir,
+        scene_names=args.scenes.split(",") if args.scenes else None,
     )
     print(json.dumps(results["summary"]))
 

@@ -151,11 +151,16 @@ def _track_block(suite, renderers, make_estimator, est_cfg, scene_filter=None):
 
 def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
                  input_size=160, learned_px=64, learned_steps=(2000, 4000),
-                 hyp_grid=None, track=True, agnostic_dir=None):
+                 hyp_grid=None, track=True, agnostic_dir=None,
+                 scene_names=None):
     """Run the whole suite; returns (and optionally writes) the results dict.
 
     quick=True: 2 scenes, 2 register poses, 6 track frames, small grids —
     the CPU smoke configuration used by tests.
+
+    ``scene_names``: optional subset of scene names to run (full resolution,
+    full protocol) — for re-measuring specific scenes after a targeted fix;
+    pooled numbers then cover only the subset.
 
     ``agnostic_dir``: an object-agnostic checkpoint directory
     (scripts/train_agnostic.py). When given, learned mode evaluates that ONE
@@ -167,6 +172,8 @@ def run_accuracy(out_path=None, quick=False, modes=("geometric", "learned"),
     import jax
 
     suite = scenes_mod.build_suite(quick=quick)
+    if scene_names:
+        suite = [s for s in suite if s.name in set(scene_names)]
     # quick mode renders at quarter resolution (the XLA raster on a CPU test
     # host is minutes per 640x480 frame; geometry/protocol are unchanged)
     K_s, hw_s = (scenes_mod.K_DEFAULT, scenes_mod.HW_DEFAULT)
