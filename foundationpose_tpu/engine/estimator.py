@@ -88,11 +88,14 @@ def _guess_translation_traced(depth, mask, K):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("refine_key", "score_key", "sched", "iteration", "shard"),
+    static_argnames=(
+        "refine_key", "score_key", "sched", "iteration", "shard", "mask_gate",
+    ),
 )
 def _register_program(refine_key, score_key, sched, params_r, params_s,
                       mesh_tensors, mesh_tensors_coarse, rot_grid, K, rgb_u8,
-                      depth, mask_u8, diameter, n_orig, iteration, shard=None):
+                      depth, mask_u8, diameter, n_orig, iteration, shard=None,
+                      mask_gate=0):
     """sched = (funnel_top_k, funnel_coarse_iterations, funnel_coarse_size,
     final_refine_iterations, final_refine_top_k). ``refine_key``/``score_key``
     come from the refiner/scorer's ``program_key`` property: ``key[0]`` is the
@@ -110,6 +113,20 @@ def _register_program(refine_key, score_key, sched, params_r, params_s,
      final_refine_iterations, final_refine_top_k) = sched
 
     rgb = rgb_u8.astype(jnp.float32)
+    if mask_gate:
+        # Gate the OBSERVED frame to a dilated margin around the user's
+        # segmentation mask: register has the mask anyway (the reference
+        # only uses it for the translation guess, estimater.py:184-206, and
+        # feeds the refiner/scorer the full unmasked RGBD), and clutter
+        # abutting the object inside the crop window measurably biases every
+        # refiner/scorer — learned nets AND projective ICP both lost 3-10 cm
+        # of translation on the eval suite's compound_clutter scene. Zeroed
+        # depth pixels become invalid (= sensor holes, a trained condition);
+        # the dilation margin keeps boundary context and tolerates sloppy
+        # masks.
+        gate = imops.dilate_mask(mask_u8 > 0, radius=mask_gate)
+        depth = jnp.where(gate, depth, 0.0)
+        rgb = rgb * gate[..., None]
     if shard is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -290,6 +307,14 @@ class EstimatorConfig:
     track_crop_size: int = 224
     track_crop_margin: float = 1.4
     max_render_faces: int = 4096  # static triangle-axis bound for the raster
+    # register-time observed gating: zero observed rgb/depth beyond this
+    # dilation radius (pixels) around the segmentation mask before building
+    # crops. The reference uses the mask only for the translation guess and
+    # feeds full unmasked RGBD to its nets (estimater.py:184-206); clutter
+    # abutting the object inside the crop biases learned nets AND ICP by
+    # 3-10 cm (eval compound_clutter). The margin keeps boundary context
+    # and tolerates sloppy masks. 0 restores reference behavior.
+    register_mask_dilation: int = 10
     # hierarchical polish: re-refine the top-K scored hypotheses for extra
     # iterations, then re-score. ON by default (2 extra iterations on the
     # top 8 — ~3% extra refine work for a measurable register-ceiling lift;
@@ -586,6 +611,7 @@ class FoundationPoseTPU:
                     None if self.device_mesh is None
                     else (self.device_mesh, self.device_mesh.axis_names[0])
                 ),
+                mask_gate=int(cfg.register_mask_dilation),
             )
         )
         refined = packed[: n * 16].reshape(n, 4, 4).astype(np.float64)

@@ -30,6 +30,21 @@ def _shifted(img, dv, du, fill=0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
+def dilate_mask(mask, radius=10):
+    """Binary mask dilation by a (2r+1)^2 square element (windowed max —
+    XLA lowers it to two separable pooling passes). Used to gate observed
+    rgb/depth to a margin around the segmentation mask at register time."""
+    m = jnp.asarray(mask).astype(jnp.float32)
+    return (
+        jax.lax.reduce_window(
+            m, 0.0, jax.lax.max,
+            (2 * radius + 1, 2 * radius + 1), (1, 1), "SAME",
+        )
+        > 0.5
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
 def erode_depth(depth, radius=2, depth_diff_thres=0.001, ratio_thres=0.8, zfar=100.0):
     """Zero a pixel when >ratio_thres of its in-bounds (2r+1)^2 neighborhood is
     invalid or differs from it by more than depth_diff_thres.
