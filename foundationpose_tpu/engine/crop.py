@@ -28,6 +28,7 @@ from foundationpose_tpu.ops import raster
     jax.jit,
     static_argnames=(
         "out_size", "normalize_xyz", "use_normal", "use_pallas", "backface_cull",
+        "gate_px",
     ),
 )
 def make_crop_batch(
@@ -44,6 +45,7 @@ def make_crop_batch(
     use_normal=False,
     use_pallas=False,
     backface_cull=False,
+    gate_px=0,
 ):
     """Build network inputs for a batch of pose hypotheses.
 
@@ -112,6 +114,25 @@ def make_crop_batch(
     else:
         xyzB = imops.warp_crop_affine(xyz_map, tfs, (S, S), mode="nearest")
         validB = xyzB[..., 2:3] >= z_invalid_thres
+
+    if gate_px:
+        # Per-hypothesis silhouette gating of the OBSERVED side: zero
+        # observed pixels beyond ``gate_px`` of each hypothesis's rendered
+        # mask. Tracking has no segmentation mask, and clutter abutting the
+        # object pulls the refiner off it frame over frame (the chain ends
+        # up ON the distractor); the candidate's own silhouette — dilated
+        # for margin — is the best available object prior. Gated-away depth
+        # reads as sensor holes, a trained condition.
+        g = (
+            jax.lax.reduce_window(
+                r["mask"].astype(jnp.float32), 0.0, jax.lax.max,
+                (1, 2 * gate_px + 1, 2 * gate_px + 1), (1, 1, 1), "SAME",
+            )
+            > 0.5
+        )[..., None]
+        rgbB = rgbB * g
+        xyzB = jnp.where(g, xyzB, 0.0)
+        validB = validB & g
 
     def normalize(xyz, thres, valid=None):
         invalid = xyz[..., 2:3] < thres  # (N,S,S,1)

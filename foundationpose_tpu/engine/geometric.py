@@ -139,9 +139,9 @@ class GeometricRefiner:
         _, cfg = key
 
         def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
-               iteration, out_size=None):
+               iteration, out_size=None, gate_px=0):
             return _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map,
-                               diameter, int(iteration))
+                               diameter, int(iteration), gate_px=gate_px)
 
         return fn
 
@@ -184,8 +184,9 @@ def _point_to_plane_delta(p, q, n, w, mu=0.2, damping=1e-6):
     return jnp.where(ok, T, jnp.eye(4))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iteration"))
-def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iteration):
+@functools.partial(jax.jit, static_argnames=("cfg", "iteration", "gate_px"))
+def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
+                iteration, gate_px=0):
     """Projective point-to-plane ICP over the hypothesis batch with an
     ADAPTIVE per-hypothesis inlier threshold (trimmed-ICP style): tau scales
     with the current mean association error, so a register seed sitting a
@@ -201,6 +202,7 @@ def _icp_refine(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter, iterat
             crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
             normalize_xyz=False, z_invalid_thres=0.001, use_normal=True,
             use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
+            gate_px=int(gate_px),
         )
         # un-center the crop xyz maps (normalize_xyz=False still subtracts t)
         t = poses[:, :3, 3][:, None, None, :]
@@ -263,9 +265,9 @@ class GeometricScorer:
         _, cfg = key
 
         def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
-               out_size=None):
+               out_size=None, gate_px=0):
             return _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map,
-                              diameter)
+                              diameter, gate_px=gate_px)
 
         return fn
 
@@ -316,8 +318,9 @@ def _dilate(mask, r=1):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
+@functools.partial(jax.jit, static_argnames=("cfg", "gate_px"))
+def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
+               gate_px=0):
     """Depth-consistency + normal-agreement + silhouette-edge score.
 
     The depth terms alone cannot separate wrong-basin hypotheses whose
@@ -340,6 +343,7 @@ def _geo_score(cfg, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter):
         crop_ratio=cfg.crop_ratio, out_size=cfg.input_size,
         normalize_xyz=False, z_invalid_thres=0.001, use_normal=True,
         use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
+        gate_px=int(gate_px),
     )
     t = poses[:, :3, 3][:, None, None, :]
     xyzB = data["inputB"][..., 3:] + t

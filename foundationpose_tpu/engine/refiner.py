@@ -114,10 +114,10 @@ class PoseRefiner:
         _, net, cfg = key
 
         def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
-               iteration, out_size=None):
+               iteration, out_size=None, gate_px=0):
             return _refine_iters(params, mesh_tensors, poses, K, rgb, xyz_map,
                                  diameter, int(iteration), net=net, cfg=cfg,
-                                 out_size=out_size)
+                                 out_size=out_size, gate_px=gate_px)
 
         return fn
 
@@ -130,7 +130,8 @@ def _refine_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,
 
 
 def _refine_iters(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
-                  iteration, *, net, cfg: RefinerConfig, out_size=None):
+                  iteration, *, net, cfg: RefinerConfig, out_size=None,
+                  gate_px=0):
     # fori_loop (not python unroll): the refine body — render + crop + net —
     # is traced once regardless of the iteration count, keeping compile time
     # and HLO size flat.
@@ -139,19 +140,20 @@ def _refine_iters(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         iteration,
         lambda _, p: refine_once(
             params, mesh_tensors, p, K, rgb, xyz_map, mesh_diameter,
-            net=net, cfg=cfg, out_size=out_size,
+            net=net, cfg=cfg, out_size=out_size, gate_px=gate_px,
         ),
         poses,
     )
 
 
 def refine_once(params, mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
-                *, net, cfg: RefinerConfig, out_size=None):
+                *, net, cfg: RefinerConfig, out_size=None, gate_px=0):
     data = make_crop_batch(
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         crop_ratio=cfg.crop_ratio, out_size=int(out_size or cfg.input_size),
         normalize_xyz=cfg.normalize_xyz, z_invalid_thres=0.001,
         use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
+        gate_px=int(gate_px),
     )
     out = net.apply(params, data["inputA"], data["inputB"])
     trans_delta, rot_mat_delta = decode_delta(

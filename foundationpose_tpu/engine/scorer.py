@@ -93,22 +93,25 @@ class PoseScorer:
         _, net, cfg = key
 
         def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
-               out_size=None):
+               out_size=None, gate_px=0):
             return _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb,
-                              xyz_map, diameter, out_size)
+                              xyz_map, diameter, out_size, gate_px)
 
         return fn
 
 
-@functools.partial(jax.jit, static_argnames=("net", "cfg", "out_size"))
+@functools.partial(
+    jax.jit, static_argnames=("net", "cfg", "out_size", "gate_px")
+)
 def _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb, xyz_map,
-               mesh_diameter, out_size=None):
+               mesh_diameter, out_size=None, gate_px=0):
     data = make_crop_batch(
         mesh_tensors, poses, K, rgb, xyz_map, mesh_diameter,
         crop_ratio=cfg.crop_ratio, out_size=int(out_size or cfg.input_size),
         normalize_xyz=cfg.normalize_xyz,
         z_invalid_thres=0.1,  # TripletH5Dataset semantics (h5_dataset.py:151)
         use_pallas=bool(cfg.use_pallas), backface_cull=cfg.backface_cull,
+        gate_px=int(gate_px),
     )
     out = net.apply(params, data["inputA"], data["inputB"], poses.shape[0])
     return out["score_logit"].reshape(-1)
@@ -197,11 +200,11 @@ class HybridScorer:
         _, net, cfg, geo_cfg, weight = key
 
         def fn(params, mesh_tensors, rgb, xyz_map, K, poses, diameter,
-               out_size=None):
+               out_size=None, gate_px=0):
             s = _score_jit(net, cfg, params, mesh_tensors, poses, K, rgb,
-                           xyz_map, diameter, out_size)
+                           xyz_map, diameter, out_size, gate_px)
             g = _geo_score(geo_cfg, mesh_tensors, poses, K, rgb, xyz_map,
-                           diameter)
+                           diameter, gate_px=gate_px)
             return s + weight * g
 
         return fn
